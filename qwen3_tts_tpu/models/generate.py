@@ -1,0 +1,329 @@
+"""Jit-compiled autoregressive generation loops for the talker.
+
+This is the TPU-native replacement for the reference's host-driven decode loop
+(reference Qwen3Talker.swift:437-577): prefill is one jitted call and decoding
+runs in jitted CHUNKS of frames via lax.while_loop — the talker step, code-0
+sampling, the 15-step code-predictor sub-loop, repetition-penalty bookkeeping,
+EOS / consecutive-pad stopping, the trailing-text schedule, and the
+192-token-window trim schedule all execute on device. Codes cross to the host
+once per chunk (the reference syncs 16 times per frame).
+
+Static shapes: prompts are padded to length buckets; the KV cache capacity is
+bucket + RING_SLACK so the ring never overwrites a live window slot
+(pre-trim span <= P + 15, post-trim span <= 192 + 15).
+"""
+
+from __future__ import annotations
+
+import functools
+from dataclasses import dataclass
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..config import Qwen3TTSConfig
+from ..ops.sampling import NEG_INF, sample_token, talker_valid_mask
+from . import code_predictor as cp_mod
+from . import talker as talker_mod
+
+# Reference decode-window constants (Qwen3Layers.swift:108, Qwen3Talker.swift:556-561)
+KV_WINDOW = 192
+TRIM_INTERVAL = 15
+MAX_CONSECUTIVE_PAD = 6
+
+RING_SLACK = 224  # > KV_WINDOW + TRIM_INTERVAL; keeps ring slots collision-free
+
+PROMPT_BUCKETS = (64, 96, 128, 192, 256, 384, 512, 768, 1024, 1536, 2048)
+TRAILING_BUCKETS = (32, 64, 128, 256, 512, 1024)
+
+
+def pick_bucket(n: int, buckets=PROMPT_BUCKETS) -> int:
+    for b in buckets:
+        if n <= b:
+            return b
+    raise ValueError(f"length {n} exceeds largest bucket {buckets[-1]}")
+
+
+@dataclass(frozen=True)
+class GenStatics:
+    """Static (hashable) generation parameters for jit."""
+
+    config: Qwen3TTSConfig
+    capacity: int
+    chunk_steps: int
+    track_cp_penalty: bool
+    repetition_penalty: float = 1.05
+
+
+# ---------------------------------------------------------------------------
+# Prefill
+# ---------------------------------------------------------------------------
+
+
+@functools.partial(jax.jit, static_argnames=("statics",))
+def prefill(
+    params: dict,
+    embeds_padded: jax.Array,
+    length: jax.Array,
+    trailing_padded: jax.Array,
+    total_text: jax.Array,
+    tts_pad_embed: jax.Array,
+    rng: jax.Array,
+    statics: GenStatics,
+) -> dict:
+    """Run the prompt through the talker and build the initial decode state."""
+    cfg = statics.config
+    cache = talker_mod.init_kv_cache(
+        cfg, statics.capacity, batch=1, dtype=embeds_padded.dtype
+    )
+    h_last, cache = talker_mod.talker_prefill(
+        params, embeds_padded, length, cache, cfg
+    )
+    logits = talker_mod.codec_head(params, h_last)[0, 0]  # [V] float32
+
+    ng = cfg.code_predictor_config.num_code_groups - 1
+    cp_vocab = cfg.code_predictor_config.vocab_size
+    return {
+        "cache": cache,
+        "h_last": h_last,
+        "logits": logits,
+        "total_len": length.astype(jnp.int32),
+        "window_start": jnp.int32(0),
+        "step": jnp.int32(0),
+        "trailing_idx": jnp.int32(0),
+        "consecutive_pad": jnp.int32(0),
+        "eos": jnp.bool_(False),
+        "seen_code0": jnp.zeros((cfg.vocab_size,), jnp.bool_),
+        "seen_cp": jnp.zeros((ng, cp_vocab), jnp.bool_),
+        "trailing": trailing_padded,
+        "total_text": total_text.astype(jnp.int32),
+        "tts_pad_embed": tts_pad_embed,
+        "rng": rng,
+    }
+
+
+# ---------------------------------------------------------------------------
+# Decode chunk
+# ---------------------------------------------------------------------------
+
+
+@functools.partial(jax.jit, static_argnames=("statics",), donate_argnames=("state",))
+def decode_chunk(
+    params: dict,
+    cp_params: dict,
+    state: dict,
+    temperature: jax.Array,
+    statics: GenStatics,
+) -> tuple[jax.Array, jax.Array, dict]:
+    """Generate up to `statics.chunk_steps` frames fully on device.
+
+    Returns (frames [chunk_steps, num_code_groups] int32, count int32, state).
+    Frames beyond `count` are zero-filled. state["eos"] is set when generation
+    stopped (EOS token or >6 consecutive pads — reference
+    Qwen3Talker.swift:485-494).
+    """
+    cfg = statics.config
+    cp_cfg = cfg.code_predictor_config
+    ng = cp_cfg.num_code_groups
+    chunk = statics.chunk_steps
+
+    eos_id = jnp.int32(cfg.codec_eos_token_id)
+    pad_id = jnp.int32(cfg.codec_pad_id)
+    # -inf at eos/pad while text remains (reference Qwen3Talker.swift:457-460)
+    eos_pad_mask = (
+        jnp.zeros((cfg.vocab_size,), jnp.float32)
+        .at[cfg.codec_eos_token_id]
+        .set(NEG_INF)
+        .at[cfg.codec_pad_id]
+        .set(NEG_INF)
+    )
+    valid_mask = talker_valid_mask(cfg.vocab_size)
+
+    def cond(carry):
+        state, out, count, i = carry
+        return (i < chunk) & jnp.logical_not(state["eos"])
+
+    def body(carry):
+        state, out, count, i = carry
+        rng, k0, kcp = jax.random.split(state["rng"], 3)
+        state = {**state, "rng": rng}
+
+        has_text = state["trailing_idx"] < state["total_text"]
+        lg = state["logits"] + jnp.where(has_text, eos_pad_mask, 0.0)
+        code0 = sample_token(
+            lg, k0, temperature,
+            seen_mask=state["seen_code0"],
+            repetition_penalty=statics.repetition_penalty,
+            valid_mask=valid_mask,
+        )
+
+        is_eos = code0 == eos_id
+        is_pad = code0 == pad_id
+        new_consec = jnp.where(is_pad, state["consecutive_pad"] + 1, 0)
+        stop = is_eos | (is_pad & (new_consec > MAX_CONSECUTIVE_PAD))
+
+        def do_stop(operand):
+            state, out, count, i = operand
+            return ({**state, "eos": jnp.bool_(True)}, out, count, i + 1)
+
+        def do_emit(operand):
+            state, out, count, i = operand
+            code0_embed = talker_mod.encode_audio(params, code0[None, None])  # [1,1,H]
+            codes15, embed_sum, seen_cp = cp_mod.predict_frame(
+                cp_params,
+                state["h_last"],
+                code0_embed,
+                kcp,
+                temperature,
+                state["seen_cp"] if statics.track_cp_penalty else None,
+                cp_cfg,
+                repetition_penalty=statics.repetition_penalty,
+            )
+            frame = jnp.concatenate([code0[None], codes15])
+            out = jax.lax.dynamic_update_slice(out, frame[None], (i, 0))
+
+            seen_code0 = state["seen_code0"].at[code0].set(True)
+
+            # Next input embed: trailing text (or tts_pad) + summed codec embeds
+            # (reference Qwen3Talker.swift:531-548)
+            t_idx = jnp.minimum(state["trailing_idx"], state["trailing"].shape[1] - 1)
+            trailing_embed = jax.lax.dynamic_slice(
+                state["trailing"], (0, t_idx, 0), (1, 1, state["trailing"].shape[2])
+            )
+            has_text_now = state["trailing_idx"] < state["total_text"]
+            text_embed = jnp.where(has_text_now, trailing_embed, state["tts_pad_embed"])
+            new_trailing_idx = jnp.where(
+                has_text_now, state["trailing_idx"] + 1, state["trailing_idx"]
+            )
+
+            input_embed = (text_embed + embed_sum).astype(state["h_last"].dtype)
+            h, cache = talker_mod.talker_decode_step(
+                params, input_embed, state["cache"],
+                state["total_len"], state["window_start"], cfg,
+            )
+            logits = talker_mod.codec_head(params, h)[0, 0]
+
+            total_len = state["total_len"] + 1
+            step = state["step"] + 1
+            # Trim schedule: every 15 steps clamp window to last 192 tokens
+            # (reference Qwen3Talker.swift:556-561)
+            window_start = jnp.where(
+                step % TRIM_INTERVAL == 0,
+                jnp.maximum(state["window_start"], total_len - KV_WINDOW),
+                state["window_start"],
+            )
+
+            new_state = {
+                **state,
+                "cache": cache,
+                "h_last": h,
+                "logits": logits,
+                "total_len": total_len,
+                "window_start": window_start,
+                "step": step,
+                "trailing_idx": new_trailing_idx,
+                "consecutive_pad": new_consec,
+                "seen_code0": seen_code0,
+                "seen_cp": seen_cp if statics.track_cp_penalty else state["seen_cp"],
+            }
+            return (new_state, out, count + 1, i + 1)
+
+        return jax.lax.cond(stop, do_stop, do_emit, (state, out, count, i))
+
+    out0 = jnp.zeros((chunk, ng), jnp.int32)
+    state, out, count, _ = jax.lax.while_loop(
+        cond, body, (state, out0, jnp.int32(0), jnp.int32(0))
+    )
+    return out, count, state
+
+
+# ---------------------------------------------------------------------------
+# Host-side orchestration
+# ---------------------------------------------------------------------------
+
+
+def generate_codes(
+    params: dict,
+    cp_params: dict,
+    config: Qwen3TTSConfig,
+    prompt_data,
+    *,
+    temperature: float = 0.9,
+    max_tokens: int = 1200,
+    chunk_steps: int = 48,
+    track_cp_penalty: bool = True,
+    repetition_penalty: float = 1.05,
+    seed: int = 0,
+    on_chunk=None,
+) -> np.ndarray:
+    """Drive prefill + chunked decode; returns raw frames [T, 16] int32
+    (including pad frames — callers filter code0 < 2048, reference
+    Qwen3Talker.swift:571-576).
+
+    `on_chunk(frames_np)` is called with each chunk's raw frames for
+    streaming consumers.
+    """
+    dtype = prompt_data.input_embeds.dtype
+    p = int(prompt_data.input_embeds.shape[1])
+    t = int(prompt_data.trailing_hidden.shape[1])
+    p_bucket = pick_bucket(p)
+    t_bucket = pick_bucket(t, TRAILING_BUCKETS)
+
+    embeds_padded = jnp.zeros((1, p_bucket, prompt_data.input_embeds.shape[2]), dtype)
+    embeds_padded = embeds_padded.at[:, :p].set(prompt_data.input_embeds)
+    trailing_padded = jnp.zeros(
+        (1, t_bucket, prompt_data.trailing_hidden.shape[2]), dtype
+    )
+    trailing_padded = trailing_padded.at[:, :t].set(prompt_data.trailing_hidden)
+
+    statics = GenStatics(
+        config=config,
+        capacity=p_bucket + RING_SLACK,
+        chunk_steps=chunk_steps,
+        track_cp_penalty=track_cp_penalty,
+        repetition_penalty=repetition_penalty,
+    )
+
+    rng = jax.random.PRNGKey(seed)
+    state = prefill(
+        params,
+        embeds_padded,
+        jnp.int32(p),
+        trailing_padded,
+        jnp.int32(t),
+        prompt_data.tts_pad_embed,
+        rng,
+        statics,
+    )
+
+    temp = jnp.float32(temperature)
+    all_frames: list[np.ndarray] = []
+    emitted = 0
+    while emitted < max_tokens:
+        frames, count, state = decode_chunk(params, cp_params, state, temp, statics)
+        count = int(count)
+        if count > 0:
+            chunk_np = np.asarray(frames[:count])
+            # Cap at max_tokens (reference loops exactly maxTokens times)
+            take = min(count, max_tokens - emitted)
+            chunk_np = chunk_np[:take]
+            all_frames.append(chunk_np)
+            emitted += take
+            if on_chunk is not None and len(chunk_np) > 0:
+                on_chunk(chunk_np)
+        if bool(state["eos"]):
+            break
+
+    if not all_frames:
+        return np.zeros((0, config.code_predictor_config.num_code_groups), np.int32)
+    return np.concatenate(all_frames, axis=0)
+
+
+def filter_valid_frames(frames: np.ndarray) -> np.ndarray:
+    """Keep frames whose code 0 is a real codebook entry
+    (reference Qwen3Talker.swift:571-576)."""
+    if len(frames) == 0:
+        return frames
+    mask = (frames[:, 0] >= 0) & (frames[:, 0] < 2048)
+    return frames[mask]

@@ -1,0 +1,185 @@
+"""Group-affine quantization: pack/unpack, quantize/dequantize, quantized matmul.
+
+Mirrors MLX's affine quantization scheme that the reference relies on for
+4/6/8-bit checkpoints and runtime mixed quantization (reference
+Qwen3Talker.swift:141-175 `dequantized(...)`, Qwen3TTSPipeline.swift:961-980
+`applyMixedQuantization`, QuantizedLayerFactory.swift:46-66):
+
+  w[o, i] ~= scales[o, i // G] * q[o, i] + biases[o, i // G]
+
+with q an unsigned `bits`-bit integer and G = group_size (default 64) along the
+input dimension. Packed storage is a little-endian bitstream per output row,
+viewed as uint32 words — identical to MLX's layout for bits in {2, 4, 8}
+(32/bits values per word, LSB-first). For 6-bit the stream simply crosses word
+boundaries (group 64 * 6 bits = 12 words exactly); self-consistent round-trip
+is tested, cross-framework bit-layout for 6-bit is validated against dequant.
+
+The jnp fallback matmul dequantizes inline (XLA fuses it); the Pallas kernel in
+ops/pallas/quant_matmul.py is the TPU fast path.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def _check(bits: int, group_size: int, in_dim: int) -> None:
+    if bits not in (2, 3, 4, 6, 8):
+        raise ValueError(f"unsupported bits: {bits}")
+    if in_dim % group_size != 0:
+        raise ValueError(f"in_dim {in_dim} not divisible by group_size {group_size}")
+    if (in_dim * bits) % 32 != 0:
+        raise ValueError(f"in_dim {in_dim} * bits {bits} must be a multiple of 32")
+
+
+# ---------------------------------------------------------------------------
+# numpy pack / unpack (load/save path — host side)
+# ---------------------------------------------------------------------------
+
+
+def pack_bits_np(q: np.ndarray, bits: int) -> np.ndarray:
+    """Pack unsigned ints [..., N] into a little-endian bitstream of uint32
+    words [..., N*bits/32]."""
+    q = np.asarray(q, dtype=np.uint32)
+    n = q.shape[-1]
+    assert (n * bits) % 32 == 0
+    # Expand each value to its bits as uint8 (LSB first), then repack.
+    shifts = np.arange(bits, dtype=np.uint32)
+    bits_arr = ((q[..., None] >> shifts) & 1).astype(np.uint8)  # [..., N, bits]
+    flat = bits_arr.reshape(*q.shape[:-1], n * bits)
+    words = flat.reshape(*q.shape[:-1], n * bits // 32, 32)
+    weights = (np.uint32(1) << np.arange(32, dtype=np.uint32))
+    return (words.astype(np.uint32) * weights).sum(axis=-1).astype(np.uint32)
+
+
+def unpack_bits_np(packed: np.ndarray, bits: int, n: int) -> np.ndarray:
+    """Inverse of pack_bits_np -> uint32 values [..., n]."""
+    packed = np.asarray(packed, dtype=np.uint32)
+    shifts = np.arange(32, dtype=np.uint32)
+    bit_arr = ((packed[..., None] >> shifts) & 1).astype(np.uint8)
+    flat = bit_arr.reshape(*packed.shape[:-1], packed.shape[-1] * 32)
+    vals = flat[..., : n * bits].reshape(*packed.shape[:-1], n, bits)
+    weights = (np.uint32(1) << np.arange(bits, dtype=np.uint32))
+    return (vals.astype(np.uint32) * weights).sum(axis=-1).astype(np.uint32)
+
+
+def quantize_np(
+    w: np.ndarray, bits: int = 4, group_size: int = 64
+) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Affine-quantize a float weight [out, in] -> (packed uint32, scales, biases).
+
+    scales/biases are float32 [out, in/group]; q = round((w - min) / scale).
+    """
+    w = np.asarray(w, dtype=np.float32)
+    out_dim, in_dim = w.shape
+    _check(bits, group_size, in_dim)
+    g = w.reshape(out_dim, in_dim // group_size, group_size)
+    w_min = g.min(axis=-1)
+    w_max = g.max(axis=-1)
+    denom = float(2**bits - 1)
+    scales = (w_max - w_min) / denom
+    scales = np.where(scales <= 1e-12, 1.0, scales).astype(np.float32)
+    biases = w_min.astype(np.float32)
+    q = np.clip(np.round((g - biases[..., None]) / scales[..., None]), 0, denom)
+    q = q.astype(np.uint32).reshape(out_dim, in_dim)
+    return pack_bits_np(q, bits), scales, biases
+
+
+def dequantize_np(
+    packed: np.ndarray,
+    scales: np.ndarray,
+    biases: np.ndarray | None,
+    bits: int = 4,
+    group_size: int = 64,
+    dtype=np.float32,
+) -> np.ndarray:
+    """Dequantize packed weights -> float [out, in]
+    (reference dequant-on-load path, Qwen3Talker.swift:154-169)."""
+    out_dim = packed.shape[0]
+    in_dim = packed.shape[1] * 32 // bits
+    _check(bits, group_size, in_dim)
+    q = unpack_bits_np(packed, bits, in_dim).astype(np.float32)
+    q = q.reshape(out_dim, in_dim // group_size, group_size)
+    scales = np.asarray(scales, dtype=np.float32).reshape(out_dim, in_dim // group_size)
+    if biases is None:
+        biases = np.zeros_like(scales)
+    else:
+        biases = np.asarray(biases, dtype=np.float32).reshape(
+            out_dim, in_dim // group_size
+        )
+    w = scales[..., None] * q + biases[..., None]
+    return w.reshape(out_dim, in_dim).astype(dtype)
+
+
+# ---------------------------------------------------------------------------
+# jnp unpack / dequant / matmul (device side, jit-able)
+# ---------------------------------------------------------------------------
+
+
+def unpack_bits_jnp(packed: jax.Array, bits: int, n: int) -> jax.Array:
+    """Unpack a little-endian uint32 bitstream into uint32 values [..., n] on
+    device. Fast paths for bits dividing 32; generic gather path otherwise."""
+    if 32 % bits == 0:
+        per = 32 // bits
+        shifts = (jnp.arange(per, dtype=jnp.uint32) * bits)[None, :]
+        vals = (packed[..., None] >> shifts) & jnp.uint32((1 << bits) - 1)
+        return vals.reshape(*packed.shape[:-1], packed.shape[-1] * per)[..., :n]
+    # Generic path: value j spans bits [j*bits, (j+1)*bits) of the stream.
+    j = jnp.arange(n, dtype=jnp.uint32)
+    bit_lo = j * jnp.uint32(bits)
+    word_lo = (bit_lo // 32).astype(jnp.int32)
+    off = bit_lo % 32
+    lo = jnp.take(packed, word_lo, axis=-1) >> off
+    # Bits from the following word when the value crosses a boundary.
+    word_hi = jnp.minimum(word_lo + 1, packed.shape[-1] - 1)
+    hi_shift = (jnp.uint32(32) - off) % 32
+    hi = jnp.where(
+        off + bits > 32,
+        jnp.take(packed, word_hi, axis=-1) << hi_shift,
+        jnp.uint32(0),
+    )
+    return (lo | hi) & jnp.uint32((1 << bits) - 1)
+
+
+def dequantize_jnp(
+    packed: jax.Array,
+    scales: jax.Array,
+    biases: jax.Array | None,
+    bits: int,
+    group_size: int,
+    dtype=jnp.float32,
+) -> jax.Array:
+    out_dim = packed.shape[0]
+    in_dim = packed.shape[1] * 32 // bits
+    q = unpack_bits_jnp(packed, bits, in_dim).astype(dtype)
+    q = q.reshape(out_dim, in_dim // group_size, group_size)
+    s = scales.astype(dtype)[..., None]
+    b = (
+        biases.astype(dtype)[..., None]
+        if biases is not None
+        else jnp.zeros_like(s)
+    )
+    return (s * q + b).reshape(out_dim, in_dim)
+
+
+@functools.partial(jax.jit, static_argnames=("bits", "group_size"))
+def quantized_matmul_ref(
+    x: jax.Array,
+    packed: jax.Array,
+    scales: jax.Array,
+    biases: jax.Array,
+    *,
+    bits: int,
+    group_size: int,
+) -> jax.Array:
+    """Reference (jnp) quantized matmul: y = x @ dequant(W).T.
+
+    XLA fuses the unpack+affine into the matmul operand; the Pallas kernel
+    replaces this on the hot path.
+    """
+    w = dequantize_jnp(packed, scales, biases, bits, group_size, dtype=x.dtype)
+    return x @ w.T
