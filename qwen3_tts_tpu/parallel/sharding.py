@@ -1,0 +1,99 @@
+"""Device-mesh and sharding layout for the talker.
+
+The reference is strictly single-device (reference
+Utilities/DeviceSelector.swift:28-31; SURVEY.md §2c) — this module is the
+TPU-native capability it lacks: a (dp, tp) `jax.sharding.Mesh` with
+Megatron-style tensor parallelism over attention heads / MLP columns expressed
+purely as `NamedSharding` annotations. XLA inserts the all-reduces over ICI;
+there are no explicit collectives anywhere in the model code.
+
+Layout (stacked layer weights, leading axis = layer):
+  q/k/v_proj [L, heads*hd, H]  -> shard axis 1 on "tp" (head-parallel)
+  o_proj     [L, H, heads*hd]  -> shard axis 2 on "tp" (row-parallel)
+  gate/up    [L, I, H]         -> shard axis 1 on "tp" (column-parallel)
+  down       [L, H, I]         -> shard axis 2 on "tp" (row-parallel)
+  norms / embeddings / codec_head: replicated (tiny next to the matmuls)
+Activations: batch axis on "dp".
+"""
+
+from __future__ import annotations
+
+import jax
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from ..config import Qwen3TTSConfig
+
+
+def make_mesh(n_devices: int | None = None, tp: int | None = None) -> Mesh:
+    """Build a (dp, tp) mesh over the first `n_devices` devices.
+
+    tp defaults to the largest power of two <= min(n_devices, 8) that divides
+    n_devices (single device => (1, 1) mesh; everything still works).
+    """
+    devices = jax.devices()
+    if n_devices is None:
+        n_devices = len(devices)
+    devices = devices[:n_devices]
+    if tp is None:
+        tp = 1
+        while tp * 2 <= min(n_devices, 8) and n_devices % (tp * 2) == 0:
+            tp *= 2
+    if n_devices % tp != 0:
+        raise ValueError(f"n_devices {n_devices} not divisible by tp {tp}")
+    dp = n_devices // tp
+    grid = np.asarray(devices).reshape(dp, tp)
+    return Mesh(grid, axis_names=("dp", "tp"))
+
+
+def talker_param_pspecs(config: Qwen3TTSConfig) -> dict:
+    """PartitionSpec tree matching models.talker.init_talker_params structure."""
+    rep = P()
+    return {
+        "text_embedding": {"w": rep},
+        "codec_embedding": {"w": rep},
+        "text_projection": {
+            "fc1": {"w": rep, "b": rep},
+            "fc2": {"w": rep, "b": rep},
+        },
+        "codec_head": {"w": rep},
+        "norm": {"w": rep},
+        "layers": {
+            "input_layernorm": {"w": rep},
+            "post_attention_layernorm": {"w": rep},
+            "q_norm": {"w": rep},
+            "k_norm": {"w": rep},
+            "q_proj": {"w": P(None, "tp", None)},
+            "k_proj": {"w": P(None, "tp", None)},
+            "v_proj": {"w": P(None, "tp", None)},
+            "o_proj": {"w": P(None, None, "tp")},
+            "gate_proj": {"w": P(None, "tp", None)},
+            "up_proj": {"w": P(None, "tp", None)},
+            "down_proj": {"w": P(None, None, "tp")},
+        },
+    }
+
+
+def shard_params(params: dict, mesh: Mesh, pspecs: dict | None = None,
+                 config: Qwen3TTSConfig | None = None) -> dict:
+    """Place a talker param tree on the mesh according to the tp layout."""
+    if pspecs is None:
+        assert config is not None
+        pspecs = talker_param_pspecs(config)
+    return jax.tree.map(
+        lambda x, spec: jax.device_put(x, NamedSharding(mesh, spec)),
+        params,
+        pspecs,
+        is_leaf=lambda x: isinstance(x, P),
+    )
+
+
+def validate_tp_divisibility(config: Qwen3TTSConfig, tp: int) -> None:
+    if config.num_key_value_heads % tp != 0:
+        raise ValueError(
+            f"tp={tp} must divide num_key_value_heads={config.num_key_value_heads}"
+        )
+    if config.intermediate_size % tp != 0:
+        raise ValueError(
+            f"tp={tp} must divide intermediate_size={config.intermediate_size}"
+        )
