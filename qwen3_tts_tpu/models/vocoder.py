@@ -1,0 +1,336 @@
+"""Vocoder decoder: 16-codebook codec frames -> 24 kHz waveform.
+
+Re-implements the reference speech-tokenizer decoder TPU-first
+(reference Vocoder/SpeechTokenizer.swift:844-988):
+
+  split-RVQ decode (1 semantic + 15 acoustic codebooks, dim 256, output
+  projection to 512; SpeechTokenizer.swift:644-692) -> causal pre-conv k=3
+  512->1024 (:873-877) -> 8-layer causal pre-transformer with LayerScale
+  (:439-488) -> 2 x (causal transpose conv x2 + ConvNeXt) (:879-884) ->
+  SEANet decoder: left-pad conv 1024->1536 k=7, 4 blocks of
+  [SnakeBeta, transpose-conv upsample, 3 dilated residual units d=1,3,9]
+  halving channels each block, output SnakeBeta + conv -> 1 channel,
+  clip +-1 (:886-952). Total upsample: prod(upsample_rates) *
+  prod(upsampling_ratios) = 1920 samples/frame (:858-859).
+
+TPU-first choices: channels-last [B, T, C] throughout (no per-layer
+transposes), the homogeneous pre-transformer is layer-stacked and scanned,
+decode is one jit per static chunk shape (the reference compiles per shape
+too, SpeechTokenizer.swift:898-915), and chunked decode batches all chunks
+into one device call (the reference batches identically, :954-987).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..config import TokenizerDecoderConfig
+from ..ops.attention import causal_mask, sdpa
+from ..ops.conv import (
+    causal_conv1d,
+    causal_transpose_conv1d,
+    convnext_block,
+    left_pad_conv1d,
+    snake_beta,
+)
+from ..ops.linear import linear
+from ..ops.norms import rms_norm
+from ..ops import rope as rope_ops
+
+
+# ---------------------------------------------------------------------------
+# Random init (tests / fixtures)
+# ---------------------------------------------------------------------------
+
+
+def _dense(key, out_dim, in_dim, dtype, bias=True, scale=0.02):
+    k1, k2 = jax.random.split(key)
+    p = {"w": (jax.random.normal(k1, (out_dim, in_dim)) * scale).astype(dtype)}
+    if bias:
+        p["b"] = (jax.random.normal(k2, (out_dim,)) * scale).astype(dtype)
+    return p
+
+
+def _conv(key, k, cin, cout, dtype, bias=True, scale=0.02):
+    k1, k2 = jax.random.split(key)
+    p = {"w": (jax.random.normal(k1, (k, cin, cout)) * scale).astype(dtype)}
+    if bias:
+        p["b"] = (jax.random.normal(k2, (cout,)) * scale).astype(dtype)
+    return p
+
+
+def _snake(key, channels, dtype):
+    k1, k2 = jax.random.split(key)
+    return {
+        "alpha": (jax.random.normal(k1, (channels,)) * 0.1).astype(dtype),
+        "beta": (jax.random.normal(k2, (channels,)) * 0.1).astype(dtype),
+    }
+
+
+def _convnext(key, dim, dtype):
+    ks = jax.random.split(key, 4)
+    return {
+        "dwconv": _conv(ks[0], 7, 1, dim, dtype),  # depthwise: Cin/groups = 1
+        "norm": {"w": jnp.ones((dim,), dtype), "b": jnp.zeros((dim,), dtype)},
+        "pwconv1": _dense(ks[1], 4 * dim, dim, dtype),
+        "pwconv2": _dense(ks[2], dim, 4 * dim, dtype),
+        "gamma": (jnp.ones((dim,), dtype) * 1e-6),
+    }
+
+
+def init_vocoder_params(
+    cfg: TokenizerDecoderConfig, key: jax.Array, dtype=jnp.float32
+) -> dict:
+    keys = jax.random.split(key, 24)
+    h = cfg.hidden_size
+    hd = cfg.head_dim
+    nq_heads = cfg.num_attention_heads
+    nl = cfg.num_hidden_layers
+    latent = cfg.latent_dim
+    cb_dim = cfg.codebook_dim // 2
+    ns = cfg.num_semantic_quantizers
+    na = cfg.num_quantizers - ns
+
+    def stack(fn, k, n):
+        ks = jax.random.split(k, n)
+        return jax.tree.map(lambda *xs: jnp.stack(xs), *[fn(kk) for kk in ks])
+
+    def tf_layer(k):
+        ks = jax.random.split(k, 8)
+        return {
+            "input_layernorm": {"w": jnp.ones((h,), dtype)},
+            "post_attention_layernorm": {"w": jnp.ones((h,), dtype)},
+            "self_attn_layer_scale": {
+                "w": jnp.full((h,), cfg.layer_scale_initial_scale, dtype)
+            },
+            "mlp_layer_scale": {
+                "w": jnp.full((h,), cfg.layer_scale_initial_scale, dtype)
+            },
+            "q_proj": _dense(ks[0], nq_heads * hd, h, dtype, bias=cfg.attention_bias),
+            "k_proj": _dense(ks[1], nq_heads * hd, h, dtype, bias=cfg.attention_bias),
+            "v_proj": _dense(ks[2], nq_heads * hd, h, dtype, bias=cfg.attention_bias),
+            "o_proj": _dense(ks[3], h, nq_heads * hd, dtype, bias=cfg.attention_bias),
+            "gate_proj": _dense(ks[4], cfg.intermediate_size, h, dtype, bias=False),
+            "up_proj": _dense(ks[5], cfg.intermediate_size, h, dtype, bias=False),
+            "down_proj": _dense(ks[6], h, cfg.intermediate_size, dtype, bias=False),
+        }
+
+    def rvq(k, n):
+        k1, k2 = jax.random.split(k)
+        return {
+            "codebooks": (
+                jax.random.normal(k1, (n, cfg.codebook_size, cb_dim)) * 0.02
+            ).astype(dtype),
+            "out_proj": _dense(k2, cfg.codebook_dim, cb_dim, dtype, bias=False),
+        }
+
+    params = {
+        "quantizer": {
+            "semantic": rvq(keys[0], ns),
+            "acoustic": rvq(keys[1], na),
+        },
+        "pre_conv": _conv(keys[2], 3, cfg.codebook_dim, latent, dtype),
+        "pre_transformer": {
+            "input_proj": _dense(keys[3], h, latent, dtype),
+            "layers": stack(tf_layer, keys[4], nl),
+            "norm": {"w": jnp.ones((h,), dtype)},
+            "output_proj": _dense(keys[5], latent, h, dtype),
+        },
+        "upsample": [
+            {
+                "tconv": _conv(keys[6 + i], r, latent, latent, dtype),
+                "convnext": _convnext(keys[8 + i], latent, dtype),
+            }
+            for i, r in enumerate(cfg.upsampling_ratios)
+        ],
+    }
+
+    blocks = []
+    for i, rate in enumerate(cfg.upsample_rates):
+        in_dim = cfg.decoder_dim // (2**i)
+        out_dim = cfg.decoder_dim // (2 ** (i + 1))
+        ks = jax.random.split(keys[10 + i], 8)
+        units = []
+        for j, dil in enumerate((1, 3, 9)):
+            units.append(
+                {
+                    "act1": _snake(ks[2 * j], out_dim, dtype),
+                    "conv1": _conv(ks[2 * j + 1], 7, out_dim, out_dim, dtype),
+                    "act2": _snake(jax.random.fold_in(ks[2 * j], 1), out_dim, dtype),
+                    "conv2": _conv(
+                        jax.random.fold_in(ks[2 * j + 1], 1), 1, out_dim, out_dim, dtype
+                    ),
+                }
+            )
+        blocks.append(
+            {
+                "snake": _snake(ks[6], in_dim, dtype),
+                "up": _conv(ks[7], 2 * rate, in_dim, out_dim, dtype),
+                "units": units,
+            }
+        )
+
+    out_dim = cfg.decoder_dim // (2 ** len(cfg.upsample_rates))
+    params["decoder"] = {
+        "initial_conv": _conv(keys[20], 7, latent, cfg.decoder_dim, dtype),
+        "blocks": blocks,
+        "out_snake": _snake(keys[21], out_dim, dtype),
+        "out_conv": _conv(keys[22], 7, out_dim, 1, dtype),
+    }
+    return params
+
+
+# ---------------------------------------------------------------------------
+# Forward pieces
+# ---------------------------------------------------------------------------
+
+
+def rvq_decode(params: dict, codes: jax.Array) -> jax.Array:
+    """Split residual-VQ decode. codes: [B, nq, T] int32 -> [B, T, codebook_dim]
+    (reference SplitResidualVectorQuantizer.decode, SpeechTokenizer.swift:684-691:
+    semantic and acoustic halves each sum their codebook embeddings, project
+    out, and the two results add)."""
+    sem = params["semantic"]
+    aco = params["acoustic"]
+    ns = sem["codebooks"].shape[0]
+
+    def gather_sum(cbs, half_codes):
+        # cbs: [n, V, D]; half_codes: [B, n, T] -> [B, T, D]
+        def one(cb, c):  # cb [V, D], c [B, T]
+            return jnp.take(cb, c, axis=0)  # [B, T, D]
+
+        per_q = jax.vmap(one, in_axes=(0, 1), out_axes=0)(
+            cbs, half_codes
+        )  # [n, B, T, D]
+        return per_q.sum(axis=0)
+
+    quantized = gather_sum(sem["codebooks"], codes[:, :ns])
+    quantized = linear(sem["out_proj"], quantized)
+    if codes.shape[1] > ns:
+        rest = gather_sum(aco["codebooks"], codes[:, ns:])
+        quantized = quantized + linear(aco["out_proj"], rest)
+    return quantized
+
+
+def pre_transformer(params: dict, x: jax.Array, cfg: TokenizerDecoderConfig) -> jax.Array:
+    """8-layer causal transformer with LayerScale over [B, T, latent]
+    (reference DecoderTransformer, SpeechTokenizer.swift:439-488)."""
+    b, t, _ = x.shape
+    hd = cfg.head_dim
+    nh = cfg.num_attention_heads
+    scale = 1.0 / float(hd) ** 0.5
+
+    h = linear(params["input_proj"], x)
+    positions = jnp.arange(t)[None, :]
+    inv = jnp.asarray(rope_ops.inv_freq(hd, cfg.rope_theta))
+    cos, sin = rope_ops.rope_cos_sin(positions, inv)
+    c = cos[:, None, :, :]
+    s = sin[:, None, :, :]
+    mask = causal_mask(t) if t > 1 else None
+
+    def body(h, lp):
+        xin = rms_norm(h, lp["input_layernorm"]["w"], cfg.rms_norm_eps)
+        q = linear(lp["q_proj"], xin).reshape(b, t, nh, hd).transpose(0, 2, 1, 3)
+        k = linear(lp["k_proj"], xin).reshape(b, t, nh, hd).transpose(0, 2, 1, 3)
+        v = linear(lp["v_proj"], xin).reshape(b, t, nh, hd).transpose(0, 2, 1, 3)
+        q = rope_ops.apply_rope(q, c, s)
+        k = rope_ops.apply_rope(k, c, s)
+        attn = sdpa(q, k, v, scale, mask).transpose(0, 2, 1, 3).reshape(b, t, -1)
+        attn = linear(lp["o_proj"], attn)
+        h = h + lp["self_attn_layer_scale"]["w"].astype(h.dtype) * attn
+        x2 = rms_norm(h, lp["post_attention_layernorm"]["w"], cfg.rms_norm_eps)
+        m = linear(lp["down_proj"],
+                   jax.nn.silu(linear(lp["gate_proj"], x2)) * linear(lp["up_proj"], x2))
+        return h + lp["mlp_layer_scale"]["w"].astype(h.dtype) * m, None
+
+    h, _ = jax.lax.scan(body, h, params["layers"])
+    h = rms_norm(h, params["norm"]["w"], cfg.rms_norm_eps)
+    return linear(params["output_proj"], h)
+
+
+def _residual_unit(params: dict, x: jax.Array, dilation: int) -> jax.Array:
+    """SnakeBeta -> causal conv k7 (dilated) -> SnakeBeta -> causal conv k1 ->
+    + residual (reference DecoderResidualUnit, SpeechTokenizer.swift:696-718)."""
+    h = snake_beta(params["act1"], x)
+    h = causal_conv1d(params["conv1"], h, dilation=dilation)
+    h = snake_beta(params["act2"], h)
+    h = causal_conv1d(params["conv2"], h)
+    return x + h
+
+
+def decode_frames(
+    params: dict, codes: jax.Array, cfg: TokenizerDecoderConfig
+) -> jax.Array:
+    """Full vocoder decode: codes [B, nq, T] int32 -> waveform [B, T * total_upsample]
+    float32 in [-1, 1] (reference decodeImpl, SpeechTokenizer.swift:917-952)."""
+    h = rvq_decode(params["quantizer"], codes)            # [B, T, 512]
+    h = causal_conv1d(params["pre_conv"], h)              # [B, T, 1024]
+    h = pre_transformer(params["pre_transformer"], h, cfg)
+
+    for stage, ratio in zip(params["upsample"], cfg.upsampling_ratios):
+        h = causal_transpose_conv1d(stage["tconv"], h, stride=ratio)
+        h = convnext_block(stage["convnext"], h)
+
+    wav = left_pad_conv1d(params["decoder"]["initial_conv"], h)
+    for block, rate in zip(params["decoder"]["blocks"], cfg.upsample_rates):
+        wav = snake_beta(block["snake"], wav)
+        wav = causal_transpose_conv1d(block["up"], wav, stride=rate)
+        for unit, dil in zip(block["units"], (1, 3, 9)):
+            wav = _residual_unit(unit, wav, dil)
+    wav = snake_beta(params["decoder"]["out_snake"], wav)
+    wav = left_pad_conv1d(params["decoder"]["out_conv"], wav)  # [B, S, 1]
+    return jnp.clip(wav[..., 0].astype(jnp.float32), -1.0, 1.0)
+
+
+@functools.partial(jax.jit, static_argnames=("cfg",))
+def decode_frames_jit(params: dict, codes: jax.Array, cfg: TokenizerDecoderConfig):
+    return decode_frames(params, codes, cfg)
+
+
+# ---------------------------------------------------------------------------
+# Chunked decode
+# ---------------------------------------------------------------------------
+
+
+def chunked_decode(
+    params: dict,
+    codes: np.ndarray | jax.Array,
+    cfg: TokenizerDecoderConfig,
+    *,
+    chunk_size: int = 100,
+    left_context: int = 10,
+) -> np.ndarray:
+    """Decode long code sequences in fixed-size overlapping chunks, batched on
+    the batch axis, dropping the re-decoded left-context samples
+    (reference chunkedDecode, SpeechTokenizer.swift:954-987).
+
+    codes: [B, nq, T] -> waveform [B, T * total_upsample] float32. One jit
+    signature per (num_chunks x B, chunk+context) shape; chunk_size is fixed,
+    so long clips reuse the same compiled program.
+    """
+    codes = np.asarray(codes)
+    b, nq, t = codes.shape
+    if t == 0:
+        return np.zeros((b, 0), np.float32)
+    total_up = cfg.total_upsample
+
+    num_chunks = (t + chunk_size - 1) // chunk_size
+    right_pad = num_chunks * chunk_size - t
+    padded = np.pad(codes, ((0, 0), (0, 0), (left_context, right_pad)))
+
+    chunks = [
+        padded[:, :, i * chunk_size : i * chunk_size + chunk_size + left_context]
+        for i in range(num_chunks)
+    ]
+    batch = np.concatenate(chunks, axis=0)  # [num_chunks*B, nq, chunk+ctx]
+
+    wav = decode_frames_jit(params, jnp.asarray(batch), cfg)
+    wav = np.asarray(wav)[:, left_context * total_up :]
+
+    # [num_chunks*B, S] -> [B, num_chunks*S] (chunk-major time order)
+    wav = wav.reshape(num_chunks, b, -1).transpose(1, 0, 2).reshape(b, -1)
+    return wav[:, : t * total_up]

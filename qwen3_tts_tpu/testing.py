@@ -159,3 +159,175 @@ def tiny_models(seed: int = 0, dtype=jnp.float32):
         cfg.code_predictor_config, cfg.hidden_size, jax.random.PRNGKey(seed + 1), dtype
     )
     return cfg, params, cp_params
+
+
+# ---------------------------------------------------------------------------
+# Reference-format checkpoint export (tests round-trip through io.checkpoint)
+# ---------------------------------------------------------------------------
+
+
+def export_talker_checkpoint(params, cp_params, config) -> dict:
+    """Serialize (talker_params, cp_params) into reference-format checkpoint
+    keys ("talker.model.*", "talker.code_predictor.model.*" — the layout
+    io.checkpoint.load_talker_checkpoint consumes, reference
+    Qwen3Talker.swift:117-137)."""
+    import numpy as np
+
+    out = {}
+
+    def put_linear(prefix, entry):
+        if "wq" in entry:
+            out[f"{prefix}.weight"] = np.asarray(entry["wq"])
+            out[f"{prefix}.scales"] = np.asarray(entry["scales"])
+            if "biases" in entry:
+                out[f"{prefix}.biases"] = np.asarray(entry["biases"])
+        else:
+            out[f"{prefix}.weight"] = np.asarray(entry["w"])
+        if "b" in entry:
+            out[f"{prefix}.bias"] = np.asarray(entry["b"])
+
+    t = "talker.model"
+    out[f"{t}.text_embedding.weight"] = np.asarray(params["text_embedding"]["w"])
+    out[f"{t}.codec_embedding.weight"] = np.asarray(params["codec_embedding"]["w"])
+    put_linear(f"{t}.text_projection.linear_fc1", params["text_projection"]["fc1"])
+    put_linear(f"{t}.text_projection.linear_fc2", params["text_projection"]["fc2"])
+    put_linear(f"{t}.codec_head", params["codec_head"])
+    out[f"{t}.norm.weight"] = np.asarray(params["norm"]["w"])
+
+    lp = params["layers"]
+    for i in range(config.num_hidden_layers):
+        p = f"{t}.layers.{i}"
+        out[f"{p}.input_layernorm.weight"] = np.asarray(lp["input_layernorm"]["w"][i])
+        out[f"{p}.post_attention_layernorm.weight"] = np.asarray(
+            lp["post_attention_layernorm"]["w"][i]
+        )
+        out[f"{p}.self_attn.q_norm.weight"] = np.asarray(lp["q_norm"]["w"][i])
+        out[f"{p}.self_attn.k_norm.weight"] = np.asarray(lp["k_norm"]["w"][i])
+        for name in ("q_proj", "k_proj", "v_proj", "o_proj"):
+            put_linear(
+                f"{p}.self_attn.{name}",
+                {k: v[i] for k, v in lp[name].items()},
+            )
+        for name in ("gate_proj", "up_proj", "down_proj"):
+            put_linear(f"{p}.mlp.{name}", {k: v[i] for k, v in lp[name].items()})
+
+    c = "talker.code_predictor.model"
+    cp_cfg = config.code_predictor_config
+    ng = cp_cfg.num_code_groups - 1
+    for i in range(ng):
+        out[f"{c}.codec_embedding.{i}.weight"] = np.asarray(
+            cp_params["codec_embedding"]["w"][i]
+        )
+        out[f"{c}.lm_head.{i}.weight"] = np.asarray(cp_params["lm_head"]["w"][i])
+    out[f"{c}.norm.weight"] = np.asarray(cp_params["norm"]["w"])
+    if "small_to_mtp_projection" in cp_params:
+        put_linear(f"{c}.small_to_mtp_projection", cp_params["small_to_mtp_projection"])
+    clp = cp_params["layers"]
+    for i in range(cp_cfg.num_hidden_layers):
+        p = f"{c}.layers.{i}"
+        out[f"{p}.input_layernorm.weight"] = np.asarray(clp["input_layernorm"]["w"][i])
+        out[f"{p}.post_attention_layernorm.weight"] = np.asarray(
+            clp["post_attention_layernorm"]["w"][i]
+        )
+        out[f"{p}.self_attn.q_norm.weight"] = np.asarray(clp["q_norm"]["w"][i])
+        out[f"{p}.self_attn.k_norm.weight"] = np.asarray(clp["k_norm"]["w"][i])
+        for name in ("q_proj", "k_proj", "v_proj", "o_proj"):
+            put_linear(
+                f"{p}.self_attn.{name}", {k: v[i] for k, v in clp[name].items()}
+            )
+        for name in ("gate_proj", "up_proj", "down_proj"):
+            put_linear(f"{p}.mlp.{name}", {k: v[i] for k, v in clp[name].items()})
+    return out
+
+
+def export_vocoder_checkpoint(params, cfg) -> dict:
+    """Serialize a vocoder param tree into reference-format keys with torch
+    conv layouts and RVQ EMA stats (the layout
+    io.checkpoint.load_vocoder_checkpoint consumes, reference
+    AudioDecoder.swift:196-305)."""
+    import numpy as np
+
+    out = {}
+
+    def conv_torch(entry):
+        return np.ascontiguousarray(np.asarray(entry["w"]).transpose(2, 1, 0))
+
+    def tconv_torch(entry):
+        w = np.asarray(entry["w"])  # flipped HIO [K, Cin, Cout]
+        return np.ascontiguousarray(w.transpose(1, 2, 0)[:, :, ::-1])
+
+    def put_conv(prefix, entry, transpose=False):
+        out[f"{prefix}.weight"] = tconv_torch(entry) if transpose else conv_torch(entry)
+        if "b" in entry:
+            out[f"{prefix}.bias"] = np.asarray(entry["b"])
+
+    def put_linear(prefix, entry):
+        out[f"{prefix}.weight"] = np.asarray(entry["w"])
+        if "b" in entry:
+            out[f"{prefix}.bias"] = np.asarray(entry["b"])
+
+    def put_snake(prefix, entry):
+        out[f"{prefix}.alpha"] = np.asarray(entry["alpha"])
+        out[f"{prefix}.beta"] = np.asarray(entry["beta"])
+
+    pre = "decoder"  # top-level "decoder." prefix, stripped at load
+    q = params["quantizer"]
+    for half, base in (("semantic", "rvq_first"), ("acoustic", "rvq_rest")):
+        cbs = np.asarray(q[half]["codebooks"])
+        for i in range(cbs.shape[0]):
+            b = f"{pre}.quantizer.{base}.vq.layers.{i}._codebook"
+            out[f"{b}.cluster_usage"] = np.ones((cbs.shape[1],), np.float32)
+            out[f"{b}.embedding_sum"] = cbs[i]
+        out[f"{pre}.quantizer.{base}.output_proj.weight"] = np.asarray(
+            q[half]["out_proj"]["w"]
+        )[:, :, None]
+
+    put_conv(f"{pre}.pre_conv.conv", params["pre_conv"])
+
+    pt = params["pre_transformer"]
+    put_linear(f"{pre}.pre_transformer.input_proj", pt["input_proj"])
+    put_linear(f"{pre}.pre_transformer.output_proj", pt["output_proj"])
+    out[f"{pre}.pre_transformer.norm.weight"] = np.asarray(pt["norm"]["w"])
+    nl = np.asarray(pt["layers"]["input_layernorm"]["w"]).shape[0]
+    for i in range(nl):
+        p = f"{pre}.pre_transformer.layers.{i}"
+        L = pt["layers"]
+        out[f"{p}.input_layernorm.weight"] = np.asarray(L["input_layernorm"]["w"][i])
+        out[f"{p}.post_attention_layernorm.weight"] = np.asarray(
+            L["post_attention_layernorm"]["w"][i]
+        )
+        out[f"{p}.self_attn_layer_scale.scale"] = np.asarray(
+            L["self_attn_layer_scale"]["w"][i]
+        )
+        out[f"{p}.mlp_layer_scale.scale"] = np.asarray(L["mlp_layer_scale"]["w"][i])
+        for name in ("q_proj", "k_proj", "v_proj", "o_proj"):
+            put_linear(f"{p}.self_attn.{name}", {k: v[i] for k, v in L[name].items()})
+        for name in ("gate_proj", "up_proj", "down_proj"):
+            put_linear(f"{p}.mlp.{name}", {k: v[i] for k, v in L[name].items()})
+
+    for i, stage in enumerate(params["upsample"]):
+        put_conv(f"{pre}.upsample.{i}.0.conv", stage["tconv"], transpose=True)
+        cn = stage["convnext"]
+        put_conv(f"{pre}.upsample.{i}.1.dwconv.conv", cn["dwconv"])
+        out[f"{pre}.upsample.{i}.1.norm.weight"] = np.asarray(cn["norm"]["w"])
+        out[f"{pre}.upsample.{i}.1.norm.bias"] = np.asarray(cn["norm"]["b"])
+        put_linear(f"{pre}.upsample.{i}.1.pwconv1", cn["pwconv1"])
+        put_linear(f"{pre}.upsample.{i}.1.pwconv2", cn["pwconv2"])
+        out[f"{pre}.upsample.{i}.1.gamma"] = np.asarray(cn["gamma"])
+
+    dec = params["decoder"]
+    put_conv(f"{pre}.decoder.0.conv", dec["initial_conv"])
+    for i, block in enumerate(dec["blocks"]):
+        p = f"{pre}.decoder.{i + 1}.block"
+        put_snake(f"{p}.0", block["snake"])
+        put_conv(f"{p}.1.conv", block["up"], transpose=True)
+        for j, unit in enumerate(block["units"]):
+            u = f"{p}.{j + 2}"
+            put_snake(f"{u}.act1", unit["act1"])
+            put_conv(f"{u}.conv1.conv", unit["conv1"])
+            put_snake(f"{u}.act2", unit["act2"])
+            put_conv(f"{u}.conv2.conv", unit["conv2"])
+    n_blocks = len(dec["blocks"])
+    put_snake(f"{pre}.decoder.{n_blocks + 1}", dec["out_snake"])
+    put_conv(f"{pre}.decoder.{n_blocks + 2}.conv", dec["out_conv"])
+    return out
