@@ -155,7 +155,18 @@ def load_talker_checkpoint(
     def layer_field(path_fmt: str, builder) -> dict:
         return _stack([builder(path_fmt.format(i=i)) for i in range(nl)])
 
-    lin = lambda p: _linear_entry(w, p, dtype)  # noqa: E731
+    def lin(p: str) -> dict:
+        entry = _linear_entry(w, p, dtype)
+        if "wq" in entry:
+            # Pre-quantized checkpoint: add the Pallas kernel-layout copy on
+            # TPU (bits/group from the checkpoint's quantization settings).
+            import jax
+
+            if jax.default_backend() == "tpu":
+                from ..ops.pallas.quant_matmul import add_kernel_layout
+
+                entry = add_kernel_layout(entry, settings.bits, settings.group_size)
+        return entry
     norm = lambda p: {"w": np.asarray(w[f"{p}.weight"], dtype)}  # noqa: E731
 
     params = {

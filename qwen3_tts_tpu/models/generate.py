@@ -243,7 +243,7 @@ def decode_chunk(
 # ---------------------------------------------------------------------------
 
 
-def generate_codes(
+def stream_codes(
     params: dict,
     cp_params: dict,
     config: Qwen3TTSConfig,
@@ -255,14 +255,11 @@ def generate_codes(
     track_cp_penalty: bool = True,
     repetition_penalty: float = 1.05,
     seed: int = 0,
-    on_chunk=None,
-) -> np.ndarray:
-    """Drive prefill + chunked decode; returns raw frames [T, 16] int32
-    (including pad frames — callers filter code0 < 2048, reference
-    Qwen3Talker.swift:571-576).
-
-    `on_chunk(frames_np)` is called with each chunk's raw frames for
-    streaming consumers.
+):
+    """Generator over raw frame chunks [<=chunk_steps, 16] int32 — the
+    streaming producer (reference Qwen3Talker.generateStream,
+    Qwen3Talker.swift:633-885). Prefill + each decode chunk are single jitted
+    device calls; codes cross to host once per chunk.
     """
     dtype = prompt_data.input_embeds.dtype
     p = int(prompt_data.input_embeds.shape[1])
@@ -298,7 +295,6 @@ def generate_codes(
     )
 
     temp = jnp.float32(temperature)
-    all_frames: list[np.ndarray] = []
     emitted = 0
     while emitted < max_tokens:
         frames, count, state = decode_chunk(params, cp_params, state, temp, statics)
@@ -308,13 +304,31 @@ def generate_codes(
             # Cap at max_tokens (reference loops exactly maxTokens times)
             take = min(count, max_tokens - emitted)
             chunk_np = chunk_np[:take]
-            all_frames.append(chunk_np)
             emitted += take
-            if on_chunk is not None and len(chunk_np) > 0:
-                on_chunk(chunk_np)
+            if len(chunk_np) > 0:
+                yield chunk_np
         if bool(state["eos"]):
             break
 
+
+def generate_codes(
+    params: dict,
+    cp_params: dict,
+    config: Qwen3TTSConfig,
+    prompt_data,
+    *,
+    on_chunk=None,
+    **kwargs,
+) -> np.ndarray:
+    """Drive prefill + chunked decode to completion; returns raw frames
+    [T, 16] int32 (including pad frames — callers filter code0 < 2048,
+    reference Qwen3Talker.swift:571-576). `on_chunk(frames_np)` is called per
+    chunk for streaming consumers."""
+    all_frames: list[np.ndarray] = []
+    for chunk_np in stream_codes(params, cp_params, config, prompt_data, **kwargs):
+        all_frames.append(chunk_np)
+        if on_chunk is not None:
+            on_chunk(chunk_np)
     if not all_frames:
         return np.zeros((0, config.code_predictor_config.num_code_groups), np.int32)
     return np.concatenate(all_frames, axis=0)

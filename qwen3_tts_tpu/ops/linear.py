@@ -26,18 +26,18 @@ def _quant_meta(params: dict, in_dim: int) -> tuple[int, int]:
 
 
 def linear(params: dict, x: jax.Array) -> jax.Array:
-    """y = x @ W.T (+ b). Quantized weights are dequantized inline; XLA fuses
-    the unpack into the matmul. (Pallas fast path: ops/pallas/quant_matmul.)"""
+    """y = x @ W.T (+ b). Quantized weights go through the Pallas TPU kernel
+    (ops/pallas/quant_matmul) for word-aligned bit widths, else an inline
+    dequant that XLA fuses into the matmul."""
     if "wq" in params:
+        from .pallas.quant_matmul import quantized_matmul
+
         in_dim = x.shape[-1]
         bits, group_size = _quant_meta(params, in_dim)
-        w = dequantize_jnp(
-            params["wq"], params["scales"], params.get("biases"),
-            bits, group_size, dtype=x.dtype,
-        )
+        y = quantized_matmul(x, params, bits=bits, group_size=group_size)
     else:
         w = params["w"].astype(x.dtype)
-    y = x @ w.T
+        y = x @ w.T
     if "b" in params:
         y = y + params["b"].astype(y.dtype)
     return y

@@ -183,3 +183,82 @@ def quantized_matmul_ref(
     """
     w = dequantize_jnp(packed, scales, biases, bits, group_size, dtype=x.dtype)
     return x @ w.T
+
+
+# ---------------------------------------------------------------------------
+# Runtime mixed quantization (reference Qwen3TTSPipeline.swift:961-980)
+# ---------------------------------------------------------------------------
+
+# Linear modules quantized at 6 bits (attention q/k/v + heads); everything
+# else quantizable gets 4 bits, group size 64 — the reference's mixed scheme.
+_SIX_BIT_NAMES = ("q_proj", "k_proj", "v_proj", "codec_head", "lm_head")
+
+
+def _quantize_linear_entry(
+    entry: dict, bits: int, group_size: int, kernel_layout: bool = False
+) -> dict:
+    """Dense {"w"[, "b"]} -> packed {"wq","scales","biases"[, "b"]}. Stacked
+    leading axes are handled by iterating layer slices. With kernel_layout, a
+    Pallas kernel-layout copy ("wq_kl") is added for supported bit widths."""
+    w = np.asarray(entry["w"], np.float32)
+    lead = w.shape[:-2]
+    w2 = w.reshape(-1, w.shape[-2], w.shape[-1])
+    packed, scales, biases = zip(*(quantize_np(wi, bits, group_size) for wi in w2))
+    out = {
+        "wq": np.stack(packed).reshape(*lead, w.shape[-2], -1),
+        "scales": np.stack(scales).reshape(*lead, w.shape[-2], -1),
+        "biases": np.stack(biases).reshape(*lead, w.shape[-2], -1),
+    }
+    if "b" in entry:
+        out["b"] = entry["b"]
+    if kernel_layout:
+        from .pallas.quant_matmul import add_kernel_layout
+
+        out = add_kernel_layout(out, bits, group_size)
+    return out
+
+
+def apply_mixed_quantization(
+    params: dict, group_size: int = 64, kernel_layout: bool | None = None
+) -> dict:
+    """Quantize every Linear in a talker/code-predictor param tree: 6-bit for
+    q/k/v projections and heads, 4-bit for the rest (reference
+    applyMixedQuantization, Qwen3TTSPipeline.swift:961-980). Embedding tables
+    and the per-group lm_head/codec_embedding stacks stay dense (they are used
+    via gathers, not the linear op). Dims not divisible by the packing
+    requirements are left dense."""
+    if kernel_layout is None:
+        import jax
+
+        kernel_layout = jax.default_backend() == "tpu"
+    linear_paths = {
+        "text_projection": ("fc1", "fc2"),
+        "layers": (
+            "q_proj", "k_proj", "v_proj", "o_proj",
+            "gate_proj", "up_proj", "down_proj",
+        ),
+    }
+    out = dict(params)
+    for group, names in linear_paths.items():
+        if group not in out:
+            continue
+        sub = dict(out[group])
+        for name in names:
+            if name not in sub or "w" not in sub[name]:
+                continue
+            bits = 6 if name in _SIX_BIT_NAMES else 4
+            in_dim = np.asarray(sub[name]["w"]).shape[-1]
+            if in_dim % group_size or (in_dim * bits) % 32:
+                continue
+            sub[name] = _quantize_linear_entry(
+                sub[name], bits, group_size, kernel_layout
+            )
+        out[group] = sub
+    for name in ("codec_head", "small_to_mtp_projection"):
+        if name in out and "w" in out[name]:
+            bits = 6 if name in _SIX_BIT_NAMES else 4
+            in_dim = np.asarray(out[name]["w"]).shape[-1]
+            if in_dim % group_size or (in_dim * bits) % 32:
+                continue
+            out[name] = _quantize_linear_entry(out[name], bits, group_size, kernel_layout)
+    return out

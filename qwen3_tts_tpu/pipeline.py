@@ -1,0 +1,610 @@
+"""High-level TTS pipeline: load a model directory, expose every generation
+mode (reference Qwen3TTSPipeline.swift:63-1021).
+
+Model directory layout (same as the reference consumes,
+Qwen3TTSPipeline.swift:106-232):
+  config.json            — talker config (flat or nested talker_config)
+  model.safetensors      — talker + code-predictor (+ optional speaker_encoder)
+  tokenizer.json         — BPE tokenizer
+  speech_tokenizer/      — vocoder config.json + model.safetensors
+                           (+ optional encoder.* weights for ICL)
+
+Generation modes: generate (built-in speaker / speaker embedding),
+generate_voice_design, generate_custom_voice, generate_stream (buffer-and-
+batch 18-frame decode chunks with 8-frame left context), generate_batch
+(long text with 480-sample crossfade), generate_to_file (streaming WAV),
+plus extract_speaker_embedding / encode_reference_audio for cloning.
+"""
+
+from __future__ import annotations
+
+import os
+from dataclasses import dataclass
+from typing import Callable, Iterator
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .config import Qwen3TTSConfig, SpeechTokenizerConfig
+from .frontend.chunker import chunk as chunk_text
+from .frontend.tokenizer import Qwen3Tokenizer
+from .io import checkpoint as ckpt
+from .io import safetensors_io
+from .io.wav import StreamingWAVWriter
+from .models import generate as gen_mod
+from .models import prompt as prompt_mod
+from .models import vocoder as voc
+from .ops.quant import apply_mixed_quantization
+
+SAMPLE_RATE = 24000
+# Streaming consumer constants (reference Qwen3TTSPipeline.swift:520-522);
+# samples-per-frame comes from the vocoder config (1920 for real checkpoints)
+DECODE_CHUNK_SIZE = 18
+LEFT_CONTEXT_SIZE = 8
+
+
+@dataclass
+class AudioChunk:
+    """A chunk of generated audio for streaming playback
+    (reference Qwen3TTSPipeline.swift:6-19)."""
+
+    samples: np.ndarray
+    token_range: tuple[int, int]
+    is_final: bool
+
+
+@dataclass(frozen=True)
+class Qwen3TTSPipelineConfiguration:
+    """Pipeline options (reference Qwen3TTSPipeline.swift:22-54)."""
+
+    apply_runtime_quantization: bool = False
+    default_temperature: float = 0.85
+    default_max_tokens: int = 2400
+    default_streaming_chunk_size: int = 12
+    crossfade_samples: int = 480
+
+
+class Qwen3TTSError(Exception):
+    """Load-time errors (reference Qwen3TTSPipeline.swift:985-1000)."""
+
+
+def _clean(samples: np.ndarray) -> np.ndarray:
+    """NaN/Inf scrub + clamp (reference Qwen3TTSPipeline.swift:565-570)."""
+    out = np.asarray(samples, np.float32)
+    out = np.where(np.isfinite(out), out, 0.0)
+    return np.clip(out, -1.0, 1.0)
+
+
+class Qwen3TTSPipeline:
+    sample_rate = SAMPLE_RATE
+
+    def __init__(
+        self,
+        model_path: str | os.PathLike,
+        configuration: Qwen3TTSPipelineConfiguration | None = None,
+        *,
+        dtype=jnp.bfloat16,
+    ):
+        self.pipeline_config = configuration or Qwen3TTSPipelineConfiguration()
+        model_path = os.fspath(model_path)
+        self._dtype = dtype
+
+        cfg_path = os.path.join(model_path, "config.json")
+        weights_path = os.path.join(model_path, "model.safetensors")
+        st_dir = os.path.join(model_path, "speech_tokenizer")
+        for p in (cfg_path, weights_path):
+            if not os.path.exists(p):
+                raise Qwen3TTSError(f"Required file not found: {p}")
+
+        with open(cfg_path, "r", encoding="utf-8") as f:
+            self.config = Qwen3TTSConfig.from_json(f.read())
+        self.tokenizer = Qwen3Tokenizer(model_path)
+
+        weights = safetensors_io.load_file(weights_path)
+        np_dtype = np.float32 if dtype == jnp.float32 else np.float32
+        params, cp_params = ckpt.load_talker_checkpoint(
+            weights, self.config, dtype=np_dtype
+        )
+
+        if (
+            self.pipeline_config.apply_runtime_quantization
+            and self.config.quantization is None
+        ):
+            params = apply_mixed_quantization(params)
+            cp_params = apply_mixed_quantization(cp_params)
+
+        # Cast on host (ml_dtypes handles bf16 in numpy), then one async
+        # device_put of the whole tree — per-leaf jnp.asarray converts would
+        # dispatch hundreds of tiny device ops and dominate load time.
+        import ml_dtypes
+
+        np_target = (
+            ml_dtypes.bfloat16 if dtype == jnp.bfloat16 else np.dtype(dtype)
+        )
+        cast = lambda x: (  # noqa: E731
+            np.asarray(x)
+            if np.asarray(x).dtype.kind in "ui"
+            else np.asarray(x, np_target)
+        )
+        self.params = jax.device_put(jax.tree.map(cast, params))
+        self.cp_params = jax.device_put(jax.tree.map(cast, cp_params))
+
+        # Speaker encoder (optional; "speaker_encoder." keys in the main file,
+        # reference Qwen3TTSPipeline.swift:156-170)
+        self.speaker_encoder = None
+        spk_keys = {k: v for k, v in weights.items() if k.startswith("speaker_encoder.")}
+        if spk_keys:
+            try:
+                from .models import speaker_encoder as spk_mod
+
+                self.speaker_encoder = spk_mod.SpeakerEncoder.from_weights(spk_keys)
+            except ImportError:
+                self.speaker_encoder = None
+        del weights
+
+        # Vocoder (required for audio output)
+        st_cfg_path = os.path.join(st_dir, "config.json")
+        st_weights_path = os.path.join(st_dir, "model.safetensors")
+        if not (os.path.exists(st_cfg_path) and os.path.exists(st_weights_path)):
+            raise Qwen3TTSError(f"Required file not found: {st_dir}")
+        with open(st_cfg_path, "r", encoding="utf-8") as f:
+            self.speech_config = SpeechTokenizerConfig.from_json(f.read())
+        st_weights = safetensors_io.load_file(st_weights_path)
+        self.vocoder_params = jax.device_put(
+            ckpt.load_vocoder_checkpoint(
+                st_weights, self.speech_config.decoder_config, dtype=np.float32
+            )
+        )
+
+        # Audio encoder for ICL (optional; encoder.* keys in the vocoder file,
+        # reference Qwen3TTSPipeline.swift:211-218)
+        self._samples_per_frame = self.speech_config.decoder_config.total_upsample
+
+        self.audio_encoder = None
+        enc_keys = {k: v for k, v in st_weights.items() if "encoder." in k}
+        if enc_keys and self.speech_config.encoder_config is not None:
+            try:
+                from .models import audio_encoder as enc_mod
+
+                self.audio_encoder = enc_mod.AudioEncoder.from_weights(
+                    enc_keys, self.speech_config
+                )
+            except ImportError:
+                self.audio_encoder = None
+        del st_weights
+
+    # -- capability surface (reference Qwen3TTSPipeline.swift:77-104) -------
+
+    @property
+    def available_speakers(self) -> list[str]:
+        return sorted(self.config.spk_id.keys())
+
+    @property
+    def supports_voice_cloning(self) -> bool:
+        return self.speaker_encoder is not None
+
+    @property
+    def supports_icl(self) -> bool:
+        return self.audio_encoder is not None
+
+    @property
+    def model_type(self) -> str | None:
+        return self.config.tts_model_type
+
+    @property
+    def supports_voice_design(self) -> bool:
+        return self.config.tts_model_type == "voice_design"
+
+    @property
+    def supports_custom_voice(self) -> bool:
+        return self.config.tts_model_type == "custom_voice"
+
+    # -- core code generation ------------------------------------------------
+
+    def _generate_codes(
+        self,
+        text: str,
+        speaker: str = "",
+        instruct: str | None = None,
+        speaker_embedding: np.ndarray | None = None,
+        reference_transcript: str | None = None,
+        reference_audio_codes: list[list[int]] | None = None,
+        temperature: float | None = None,
+        max_tokens: int | None = None,
+        seed: int = 0,
+    ) -> np.ndarray:
+        prompt_data = prompt_mod.assemble_prompt(
+            self.params,
+            self.config,
+            self.tokenizer,
+            text,
+            speaker=speaker,
+            instruct=instruct,
+            speaker_embedding=speaker_embedding,
+            reference_transcript=reference_transcript,
+            reference_audio_codes=reference_audio_codes,
+        )
+        if prompt_data is None:
+            return np.zeros(
+                (0, self.config.code_predictor_config.num_code_groups), np.int32
+            )
+        frames = gen_mod.generate_codes(
+            self.params,
+            self.cp_params,
+            self.config,
+            prompt_data,
+            temperature=(
+                temperature
+                if temperature is not None
+                else self.pipeline_config.default_temperature
+            ),
+            max_tokens=max_tokens or self.pipeline_config.default_max_tokens,
+            seed=seed,
+        )
+        return gen_mod.filter_valid_frames(frames)
+
+    def _decode_to_audio(self, frames: np.ndarray) -> np.ndarray:
+        """codes [T, 16] -> cleaned float32 samples [T * samples_per_frame].
+
+        Chunk size / left context honor the reference's env overrides
+        QWEN3TTS_DECODE_CHUNK_SIZE / QWEN3TTS_DECODE_LEFT_CONTEXT
+        (reference SpeechTokenizer.swift:1014-1015)."""
+        if len(frames) == 0:
+            return np.zeros(0, np.float32)
+        chunk = int(os.environ.get("QWEN3TTS_DECODE_CHUNK_SIZE", "100"))
+        ctx = int(os.environ.get("QWEN3TTS_DECODE_LEFT_CONTEXT", "10"))
+        codes = frames.T[None]  # [1, nq, T]
+        wav = voc.chunked_decode(
+            self.vocoder_params, codes, self.speech_config.decoder_config,
+            chunk_size=chunk, left_context=ctx,
+        )
+        return _clean(wav[0])
+
+    # -- generation modes ----------------------------------------------------
+
+    def generate(
+        self,
+        text: str,
+        speaker: str = "",
+        *,
+        speaker_embedding: np.ndarray | None = None,
+        temperature: float | None = None,
+        max_tokens: int | None = None,
+        seed: int = 0,
+    ) -> np.ndarray:
+        """Blocking synthesis with a built-in speaker or a speaker embedding
+        (reference Qwen3TTSPipeline.swift:244-306)."""
+        frames = self._generate_codes(
+            text,
+            speaker=speaker,
+            speaker_embedding=speaker_embedding,
+            temperature=temperature,
+            max_tokens=max_tokens,
+            seed=seed,
+        )
+        return self._decode_to_audio(frames)
+
+    def generate_voice_design(
+        self,
+        text: str,
+        voice_description: str,
+        *,
+        temperature: float | None = None,
+        max_tokens: int | None = None,
+        seed: int = 0,
+    ) -> np.ndarray:
+        """Synthesis from a natural-language voice description
+        (reference Qwen3TTSPipeline.swift:355-408)."""
+        frames = self._generate_codes(
+            text,
+            instruct=voice_description,
+            temperature=temperature,
+            max_tokens=max_tokens,
+            seed=seed,
+        )
+        return self._decode_to_audio(frames)
+
+    def generate_custom_voice(
+        self,
+        text: str,
+        speaker: str,
+        instruct: str,
+        *,
+        temperature: float | None = None,
+        max_tokens: int | None = None,
+        seed: int = 0,
+    ) -> np.ndarray:
+        """Named speaker + style instruct (reference
+        Qwen3TTSPipeline.swift:424-480)."""
+        frames = self._generate_codes(
+            text,
+            speaker=speaker,
+            instruct=instruct,
+            temperature=temperature,
+            max_tokens=max_tokens,
+            seed=seed,
+        )
+        return self._decode_to_audio(frames)
+
+    def generate_icl(
+        self,
+        text: str,
+        reference_transcript: str,
+        reference_audio_codes: list[list[int]],
+        *,
+        speaker: str = "",
+        temperature: float | None = None,
+        max_tokens: int | None = None,
+        seed: int = 0,
+    ) -> np.ndarray:
+        """In-context-learning voice cloning from reference audio codes."""
+        frames = self._generate_codes(
+            text,
+            speaker=speaker,
+            reference_transcript=reference_transcript,
+            reference_audio_codes=reference_audio_codes,
+            temperature=temperature,
+            max_tokens=max_tokens,
+            seed=seed,
+        )
+        return self._decode_to_audio(frames)
+
+    # -- streaming -------------------------------------------------------
+
+    def generate_stream(
+        self,
+        text: str,
+        speaker: str = "",
+        *,
+        instruct: str | None = None,
+        speaker_embedding: np.ndarray | None = None,
+        temperature: float | None = None,
+        max_tokens: int | None = None,
+        chunk_size: int | None = None,
+        seed: int = 0,
+    ) -> Iterator[AudioChunk]:
+        """Buffer-and-batch streaming: accumulate valid frames, decode every
+        18 with 8 frames of re-decoded left context, yield AudioChunks, flush
+        the remainder, then an empty final sentinel (reference
+        _generateStreamImpl, Qwen3TTSPipeline.swift:484-624)."""
+        chunk = chunk_size or self.pipeline_config.default_streaming_chunk_size
+        prompt_data = prompt_mod.assemble_prompt(
+            self.params, self.config, self.tokenizer, text,
+            speaker=speaker, instruct=instruct, speaker_embedding=speaker_embedding,
+        )
+        total = 0
+        if prompt_data is not None:
+            code_stream = gen_mod.stream_codes(
+                self.params, self.cp_params, self.config, prompt_data,
+                temperature=(
+                    temperature
+                    if temperature is not None
+                    else self.pipeline_config.default_temperature
+                ),
+                max_tokens=max_tokens or self.pipeline_config.default_max_tokens,
+                chunk_steps=chunk,
+                track_cp_penalty=False,  # streaming skips cp repetition sets
+                seed=seed,
+            )
+
+            buffer: list[np.ndarray] = []
+            left_context: np.ndarray | None = None
+
+            def decode_batch(frames: np.ndarray) -> np.ndarray:
+                nonlocal left_context
+                if left_context is not None:
+                    decode_input = np.concatenate([left_context, frames])
+                    drop = len(left_context) * self._samples_per_frame
+                else:
+                    decode_input = frames
+                    drop = 0
+                wav = np.asarray(
+                    voc.decode_frames_jit(
+                        self.vocoder_params,
+                        jnp.asarray(decode_input.T[None]),
+                        self.speech_config.decoder_config,
+                    )
+                )[0]
+                left_context = frames[-LEFT_CONTEXT_SIZE:]
+                return wav[drop:]
+
+            for frames in code_stream:
+                valid = gen_mod.filter_valid_frames(frames)
+                if len(valid) == 0:
+                    continue
+                buffer.append(valid)
+                buffered = np.concatenate(buffer)
+                while len(buffered) >= DECODE_CHUNK_SIZE:
+                    batch = buffered[:DECODE_CHUNK_SIZE]
+                    buffered = buffered[DECODE_CHUNK_SIZE:]
+                    samples = decode_batch(batch)
+                    total += len(batch)
+                    yield AudioChunk(
+                        samples=_clean(samples),
+                        token_range=(total - len(batch), total),
+                        is_final=False,
+                    )
+                buffer = [buffered] if len(buffered) else []
+
+            remainder = np.concatenate(buffer) if buffer else np.zeros((0, 16), np.int32)
+            if len(remainder):
+                samples = decode_batch(remainder)
+                total += len(remainder)
+                yield AudioChunk(
+                    samples=_clean(samples),
+                    token_range=(total - len(remainder), total),
+                    is_final=True,
+                )
+        yield AudioChunk(
+            samples=np.zeros(0, np.float32), token_range=(total, total), is_final=True
+        )
+
+    # -- long text -------------------------------------------------------
+
+    def generate_batch(
+        self,
+        text: str,
+        speaker: str = "",
+        *,
+        instruct: str | None = None,
+        speaker_embedding: np.ndarray | None = None,
+        reference_transcript: str | None = None,
+        temperature: float | None = None,
+        on_progress: Callable[[float], None] | None = None,
+        seed: int = 0,
+    ) -> np.ndarray:
+        """Chunk long text, synthesize each chunk (max 600 frames), decode in
+        24-frame batches with 8-frame left context, and stitch chunks with a
+        480-sample linear crossfade (reference generateBatch,
+        Qwen3TTSPipeline.swift:774-898)."""
+        crossfade = self.pipeline_config.crossfade_samples
+        text_chunks = chunk_text(text)
+        if not text_chunks:
+            return np.zeros(0, np.float32)
+        if len(text_chunks) == 1:
+            if on_progress:
+                on_progress(0.0)
+            out = self.generate(
+                text_chunks[0], speaker,
+                speaker_embedding=speaker_embedding,
+                temperature=temperature, seed=seed,
+            )
+            if on_progress:
+                on_progress(1.0)
+            return out
+
+        all_samples: list[np.ndarray] = []
+        previous_tail = np.zeros(0, np.float32)
+        for idx, text_chunk in enumerate(text_chunks):
+            if on_progress:
+                on_progress(idx / len(text_chunks))
+            frames = self._generate_codes(
+                text_chunk,
+                speaker=speaker,
+                instruct=instruct,
+                speaker_embedding=speaker_embedding,
+                reference_transcript=reference_transcript,
+                temperature=temperature,
+                max_tokens=600,
+                seed=seed + idx,
+            )
+            if len(frames) == 0:
+                continue
+            chunk_samples = self._decode_chunked(frames, decode_chunk_size=24)
+            if len(chunk_samples) == 0:
+                continue
+
+            is_last = idx == len(text_chunks) - 1
+            if len(previous_tail) and crossfade > 0:
+                fade = min(crossfade, len(previous_tail), len(chunk_samples))
+                t = np.arange(fade, dtype=np.float32)
+                fade_out = (fade - t) / fade
+                fade_in = t / fade
+                all_samples.append(
+                    previous_tail[:fade] * fade_out + chunk_samples[:fade] * fade_in
+                )
+                chunk_samples = chunk_samples[fade:]
+            if is_last:
+                all_samples.append(chunk_samples)
+            elif len(chunk_samples) > crossfade:
+                all_samples.append(chunk_samples[: len(chunk_samples) - crossfade])
+                previous_tail = chunk_samples[len(chunk_samples) - crossfade:]
+            else:
+                previous_tail = chunk_samples
+        if on_progress:
+            on_progress(1.0)
+        return (
+            np.concatenate(all_samples) if all_samples else np.zeros(0, np.float32)
+        )
+
+    def generate_to_file(
+        self,
+        text: str,
+        output_path: str | os.PathLike,
+        speaker: str = "",
+        *,
+        instruct: str | None = None,
+        speaker_embedding: np.ndarray | None = None,
+        reference_transcript: str | None = None,
+        reference_audio_codes: list[list[int]] | None = None,
+        temperature: float | None = None,
+        on_progress: Callable[[float], None] | None = None,
+        seed: int = 0,
+    ) -> int:
+        """Memory-efficient long-text synthesis straight to a WAV file
+        (reference generateToFile, Qwen3TTSPipeline.swift:644-757). Returns
+        the number of samples written."""
+        text_chunks = chunk_text(text)
+        if not text_chunks:
+            return 0
+        writer = StreamingWAVWriter(output_path, SAMPLE_RATE)
+        try:
+            for idx, text_chunk in enumerate(text_chunks):
+                if on_progress:
+                    on_progress(idx / len(text_chunks))
+                frames = self._generate_codes(
+                    text_chunk,
+                    speaker=speaker,
+                    instruct=instruct,
+                    speaker_embedding=speaker_embedding,
+                    reference_transcript=reference_transcript,
+                    reference_audio_codes=reference_audio_codes,
+                    temperature=temperature,
+                    max_tokens=600,
+                    seed=seed + idx,
+                )
+                if len(frames) == 0:
+                    continue
+                samples = self._decode_chunked(frames, decode_chunk_size=16)
+                if len(samples):
+                    writer.write(samples)
+            if on_progress:
+                on_progress(1.0)
+        finally:
+            count = writer.finalize()
+        return count
+
+    def _decode_chunked(self, frames: np.ndarray, decode_chunk_size: int) -> np.ndarray:
+        """Sequential batched vocoder decode with 8-frame left context
+        (reference Qwen3TTSPipeline.swift:700-745, 830-860)."""
+        pieces: list[np.ndarray] = []
+        left_context: np.ndarray | None = None
+        pos = 0
+        while pos < len(frames):
+            end = min(pos + decode_chunk_size, len(frames))
+            batch = frames[pos:end]
+            if left_context is not None:
+                decode_input = np.concatenate([left_context, batch])
+                drop = len(left_context) * self._samples_per_frame
+            else:
+                decode_input = batch
+                drop = 0
+            wav = np.asarray(
+                voc.decode_frames_jit(
+                    self.vocoder_params,
+                    jnp.asarray(decode_input.T[None]),
+                    self.speech_config.decoder_config,
+                )
+            )[0][drop:]
+            pieces.append(_clean(wav))
+            left_context = frames[max(0, end - LEFT_CONTEXT_SIZE): end]
+            pos = end
+        return np.concatenate(pieces) if pieces else np.zeros(0, np.float32)
+
+    # -- voice cloning inputs ----------------------------------------------
+
+    def extract_speaker_embedding(self, audio_samples: np.ndarray) -> np.ndarray | None:
+        """1024-dim x-vector from raw audio (reference
+        Qwen3TTSPipeline.swift:906-918); None without a speaker encoder."""
+        if self.speaker_encoder is None:
+            return None
+        return self.speaker_encoder.extract_embedding(np.asarray(audio_samples))
+
+    def encode_reference_audio(self, audio_samples: np.ndarray) -> list[np.ndarray] | None:
+        """16 x T codec codes from 24 kHz reference audio (reference
+        Qwen3TTSPipeline.swift:924-945); None without an audio encoder."""
+        if self.audio_encoder is None:
+            return None
+        codes = self.audio_encoder.encode(np.asarray(audio_samples))
+        return [codes[q] for q in range(codes.shape[0])]

@@ -331,3 +331,286 @@ def export_vocoder_checkpoint(params, cfg) -> dict:
     put_snake(f"{pre}.decoder.{n_blocks + 1}", dec["out_snake"])
     put_conv(f"{pre}.decoder.{n_blocks + 2}.conv", dec["out_conv"])
     return out
+
+
+# ---------------------------------------------------------------------------
+# On-disk tiny model directory (pipeline tests)
+# ---------------------------------------------------------------------------
+
+
+def make_tiny_tokenizer_json() -> dict:
+    """A loadable tokenizer.json: byte-fallback vocab + chat specials."""
+    vocab = {"<0x%02X>" % b: b for b in range(256)}
+    vocab["Ġ"] = 256  # Ġ
+    vocab["Ċ"] = 257  # Ċ
+    for i, ch in enumerate(
+        "abcdefghijklmnopqrstuvwxyzABCDEFGHIJKLMNOPQRSTUVWXYZ0123456789.,!?'\";:-"
+    ):
+        vocab[ch] = 258 + i
+    added = [
+        {"content": "<|im_start|>", "id": 400, "special": True},
+        {"content": "<|im_end|>", "id": 401, "special": True},
+    ]
+    return {
+        "model": {"vocab": vocab, "merges": []},
+        "added_tokens": added,
+    }
+
+
+def config_to_json_dict(cfg: Qwen3TTSConfig) -> dict:
+    """Serialize a talker config into the flat config.json layout the loader
+    consumes (reference Qwen3Config.swift:208-253)."""
+    d = {
+        "hidden_size": cfg.hidden_size,
+        "num_hidden_layers": cfg.num_hidden_layers,
+        "vocab_size": cfg.vocab_size,
+        "text_vocab_size": cfg.text_vocab_size,
+        "text_hidden_size": cfg.text_hidden_size,
+        "num_attention_heads": cfg.num_attention_heads,
+        "num_key_value_heads": cfg.num_key_value_heads,
+        "head_dim": cfg.head_dim,
+        "intermediate_size": cfg.intermediate_size,
+        "rms_norm_eps": cfg.rms_norm_eps,
+        "max_position_embeddings": cfg.max_position_embeddings,
+        "rope_theta": cfg.rope_theta,
+        "tts_bos_token_id": cfg.tts_bos_token_id,
+        "tts_eos_token_id": cfg.tts_eos_token_id,
+        "tts_pad_token_id": cfg.tts_pad_token_id,
+        "codec_bos_id": cfg.codec_bos_id,
+        "codec_eos_token_id": cfg.codec_eos_token_id,
+        "codec_pad_id": cfg.codec_pad_id,
+        "codec_nothink_id": cfg.codec_nothink_id,
+        "codec_think_bos_id": cfg.codec_think_bos_id,
+        "codec_think_eos_id": cfg.codec_think_eos_id,
+        "spk_id": cfg.spk_id,
+        "code_predictor_config": {
+            "hidden_size": cfg.code_predictor_config.hidden_size,
+            "num_hidden_layers": cfg.code_predictor_config.num_hidden_layers,
+            "num_attention_heads": cfg.code_predictor_config.num_attention_heads,
+            "num_key_value_heads": cfg.code_predictor_config.num_key_value_heads,
+            "head_dim": cfg.code_predictor_config.head_dim,
+            "intermediate_size": cfg.code_predictor_config.intermediate_size,
+            "rms_norm_eps": cfg.code_predictor_config.rms_norm_eps,
+            "rope_theta": cfg.code_predictor_config.rope_theta,
+            "vocab_size": cfg.code_predictor_config.vocab_size,
+            "num_code_groups": cfg.code_predictor_config.num_code_groups,
+        },
+    }
+    if cfg.mrope_section is not None:
+        d["rope_scaling"] = {"mrope_section": list(cfg.mrope_section)}
+    if cfg.tts_model_type is not None:
+        d["tts_model_type"] = cfg.tts_model_type
+    return d
+
+
+def decoder_config_to_json_dict(dec) -> dict:
+    import dataclasses as _dc
+
+    return {k: (list(v) if isinstance(v, tuple) else v)
+            for k, v in _dc.asdict(dec).items()}
+
+
+def write_tiny_model_dir(
+    path,
+    seed: int = 0,
+    tts_model_type: str | None = None,
+    with_encoders: bool = False,
+):
+    """Write a complete loadable tiny model directory (config.json,
+    model.safetensors, tokenizer.json, speech_tokenizer/) and return
+    (config, talker_params, cp_params, decoder_config, vocoder_params).
+    With with_encoders=True, speaker-encoder weights go into the main file and
+    audio-encoder weights + encoder_config into the speech_tokenizer file
+    (the layouts the pipeline probes for, Qwen3TTSPipeline.swift:156-170,
+    211-218)."""
+    import dataclasses as _dc
+    import json as _json
+    import os as _os
+
+    from .io import safetensors_io
+    from .models import code_predictor as cp_mod
+    from .models import talker as talker_mod
+    from .models import vocoder as voc_mod
+
+    path = _os.fspath(path)
+    _os.makedirs(_os.path.join(path, "speech_tokenizer"), exist_ok=True)
+
+    cfg = tiny_talker_config(
+        tts_model_type=tts_model_type,
+        # fixture tokenizer ids stay < 512; specials 400/401
+        text_vocab_size=4096,
+    )
+    params = talker_mod.init_talker_params(cfg, jax.random.PRNGKey(seed))
+    cp_params = cp_mod.init_cp_params(
+        cfg.code_predictor_config, cfg.hidden_size, jax.random.PRNGKey(seed + 1)
+    )
+    with open(_os.path.join(path, "config.json"), "w") as f:
+        _json.dump(config_to_json_dict(cfg), f)
+    main_weights = export_talker_checkpoint(params, cp_params, cfg)
+    if with_encoders:
+        from .models import speaker_encoder as spk_mod
+
+        spk_cfg = tiny_speaker_config()
+        spk_params = spk_mod.init_speaker_encoder_params(
+            spk_cfg, jax.random.PRNGKey(seed + 3)
+        )
+        main_weights.update(export_speaker_encoder_checkpoint(spk_params))
+    safetensors_io.save_file(main_weights, _os.path.join(path, "model.safetensors"))
+    with open(_os.path.join(path, "tokenizer.json"), "w") as f:
+        _json.dump(make_tiny_tokenizer_json(), f)
+
+    dec = tiny_decoder_config(codebook_size=cfg.code_predictor_config.vocab_size)
+    voc_params = voc_mod.init_vocoder_params(dec, jax.random.PRNGKey(seed + 2))
+    st_cfg = {
+        "decoder_config": decoder_config_to_json_dict(dec),
+        "encoder_valid_num_quantizers": 16,
+        "input_sample_rate": 24000,
+        "output_sample_rate": 24000,
+        "decode_upsample_rate": dec.total_upsample,
+        "encode_downsample_rate": dec.total_upsample,
+    }
+    st_weights = export_vocoder_checkpoint(voc_params, dec)
+    if with_encoders:
+        from .models import audio_encoder as aenc_mod
+
+        enc_cfg = tiny_encoder_config()
+        enc_params = aenc_mod.init_audio_encoder_params(
+            enc_cfg, jax.random.PRNGKey(seed + 4)
+        )
+        st_weights.update(export_audio_encoder_checkpoint(enc_params, enc_cfg))
+        st_cfg["encoder_config"] = {
+            k: (list(v) if isinstance(v, tuple) else v)
+            for k, v in _dc.asdict(enc_cfg).items()
+        }
+        st_cfg["encoder_valid_num_quantizers"] = enc_cfg.num_quantizers // 2
+    with open(_os.path.join(path, "speech_tokenizer", "config.json"), "w") as f:
+        _json.dump(st_cfg, f)
+    safetensors_io.save_file(
+        st_weights, _os.path.join(path, "speech_tokenizer", "model.safetensors")
+    )
+    return cfg, params, cp_params, dec, voc_params
+
+
+# ---------------------------------------------------------------------------
+# Cloning-encoder fixtures (speaker encoder + audio encoder)
+# ---------------------------------------------------------------------------
+
+
+def tiny_speaker_config():
+    from .config import SpeakerEncoderConfig
+
+    return SpeakerEncoderConfig(
+        enc_dim=32,
+        mel_dim=16,
+        enc_channels=(16, 16, 16, 16, 48),
+        enc_kernel_sizes=(5, 3, 3, 3, 1),
+        enc_dilations=(1, 2, 3, 4, 1),
+        enc_res2net_scale=8,
+        enc_se_channels=8,
+        enc_attention_channels=8,
+    )
+
+
+def export_speaker_encoder_checkpoint(params) -> dict:
+    """Serialize a speaker-encoder param tree into "speaker_encoder." keys
+    with torch conv layouts (reference SpeakerEncoder.load,
+    SpeakerEncoder.swift:550-603)."""
+    import numpy as np
+
+    out = {}
+
+    def put(prefix, entry):
+        out[f"speaker_encoder.{prefix}.weight"] = np.ascontiguousarray(
+            np.asarray(entry["w"]).transpose(2, 1, 0)
+        )
+        out[f"speaker_encoder.{prefix}.bias"] = np.asarray(entry["b"])
+
+    put("blocks.0.conv", params["blocks"][0])
+    for i in range(1, 4):
+        b = params["blocks"][i]
+        put(f"blocks.{i}.tdnn1.conv", b["tdnn1"])
+        put(f"blocks.{i}.tdnn2.conv", b["tdnn2"])
+        put(f"blocks.{i}.se_block.conv1", b["se_block"]["conv1"])
+        put(f"blocks.{i}.se_block.conv2", b["se_block"]["conv2"])
+        for j, blk in enumerate(b["res2net_block"]["blocks"]):
+            put(f"blocks.{i}.res2net_block.blocks.{j}.conv", blk)
+    put("mfa.conv", params["mfa"])
+    put("asp.tdnn.conv", params["asp"]["tdnn"])
+    put("asp.conv", params["asp"]["conv"])
+    put("fc", params["fc"])
+    return out
+
+
+def export_audio_encoder_checkpoint(params, cfg) -> dict:
+    """Serialize an audio-encoder param tree into "encoder." keys with torch
+    layouts and RVQ EMA stats (reference sanitizeEncoderWeights,
+    Qwen3TTSAudioEncoder.swift:579-648)."""
+    import numpy as np
+
+    out = {}
+
+    def put_conv(prefix, entry):
+        out[f"encoder.{prefix}.weight"] = np.ascontiguousarray(
+            np.asarray(entry["w"]).transpose(2, 1, 0)
+        )
+        if "b" in entry:
+            out[f"encoder.{prefix}.bias"] = np.asarray(entry["b"])
+
+    def put_lin(prefix, entry, as_conv=False):
+        w = np.asarray(entry["w"])
+        out[f"encoder.{prefix}.weight"] = w[:, :, None] if as_conv else w
+        if "b" in entry:
+            out[f"encoder.{prefix}.bias"] = np.asarray(entry["b"])
+
+    sea = params["seanet"]
+    idx = 0
+    put_conv(f"encoder.layers.{idx}.conv", sea["initial_conv"])
+    idx += 1
+    for stage in sea["stages"]:
+        for res in stage["resnets"]:
+            put_conv(f"encoder.layers.{idx}.block.1.conv", res["conv1"])
+            put_conv(f"encoder.layers.{idx}.block.3.conv", res["conv2"])
+            idx += 1
+        idx += 1  # ELU
+        put_conv(f"encoder.layers.{idx}.conv", stage["down"])
+        idx += 1
+    idx += 1  # final ELU
+    put_conv(f"encoder.layers.{idx}.conv", sea["final_conv"])
+
+    for i, lp in enumerate(params["transformer"]["layers"]):
+        p = f"encoder_transformer.layers.{i}"
+        out[f"encoder.{p}.input_layernorm.weight"] = np.asarray(lp["input_layernorm"]["w"])
+        out[f"encoder.{p}.input_layernorm.bias"] = np.asarray(lp["input_layernorm"]["b"])
+        out[f"encoder.{p}.post_attention_layernorm.weight"] = np.asarray(
+            lp["post_attention_layernorm"]["w"]
+        )
+        out[f"encoder.{p}.post_attention_layernorm.bias"] = np.asarray(
+            lp["post_attention_layernorm"]["b"]
+        )
+        out[f"encoder.{p}.self_attn_layer_scale.scale"] = np.asarray(
+            lp["self_attn_layer_scale"]["w"]
+        )
+        out[f"encoder.{p}.mlp_layer_scale.scale"] = np.asarray(lp["mlp_layer_scale"]["w"])
+        put_lin(f"{p}.self_attn.q_proj", lp["q_proj"])
+        put_lin(f"{p}.self_attn.k_proj", lp["k_proj"])
+        put_lin(f"{p}.self_attn.v_proj", lp["v_proj"])
+        put_lin(f"{p}.self_attn.o_proj", lp["o_proj"])
+        put_lin(f"{p}.mlp.fc1", lp["fc1"])
+        put_lin(f"{p}.mlp.fc2", lp["fc2"])
+
+    put_conv("downsample.conv.conv", params["downsample"])
+
+    for half, base in (
+        ("semantic", "quantizer.semantic_residual_vector_quantizer"),
+        ("acoustic", "quantizer.acoustic_residual_vector_quantizer"),
+    ):
+        q = params["quantizer"][half]
+        put_lin(f"{base}.input_proj", q["input_proj"], as_conv=True)
+        put_lin(f"{base}.output_proj", q["output_proj"], as_conv=True)
+        for i, cb in enumerate(q["codebooks"]):
+            cb = np.asarray(cb)
+            out[f"encoder.{base}.layers.{i}._codebook.cluster_usage"] = np.ones(
+                (cb.shape[0],), np.float32
+            )
+            out[f"encoder.{base}.layers.{i}._codebook.embedding_sum"] = cb
+    return out

@@ -1,0 +1,167 @@
+"""End-to-end pipeline tests over a tiny on-disk model directory: every
+generation mode, streaming mechanics, long-text crossfade, file output, and
+the capability surface."""
+
+import numpy as np
+import pytest
+
+from qwen3_tts_tpu.io.wav import read_wav
+from qwen3_tts_tpu.pipeline import (
+    AudioChunk,
+    Qwen3TTSError,
+    Qwen3TTSPipeline,
+    Qwen3TTSPipelineConfiguration,
+)
+from qwen3_tts_tpu.testing import write_tiny_model_dir
+
+TEXT = "Hello world, this is a longer test sentence for synthesis."
+
+
+@pytest.fixture(scope="module")
+def model_dir(tmp_path_factory):
+    path = tmp_path_factory.mktemp("tiny_model")
+    write_tiny_model_dir(path)
+    return path
+
+
+@pytest.fixture(scope="module")
+def pipeline(model_dir):
+    import jax.numpy as jnp
+
+    return Qwen3TTSPipeline(model_dir, dtype=jnp.float32)
+
+
+def test_load_and_capabilities(pipeline):
+    assert "aiden" in pipeline.available_speakers
+    assert pipeline.model_type is None
+    assert not pipeline.supports_voice_design
+    assert not pipeline.supports_custom_voice
+    # tiny fixture has no speaker-encoder / audio-encoder weights
+    assert not pipeline.supports_voice_cloning
+    assert not pipeline.supports_icl
+    assert pipeline.extract_speaker_embedding(np.zeros(100)) is None
+    assert pipeline.encode_reference_audio(np.zeros(100)) is None
+
+
+def test_missing_dir_raises(tmp_path):
+    with pytest.raises(Qwen3TTSError):
+        Qwen3TTSPipeline(tmp_path / "nope")
+
+
+def test_generate_basic(pipeline):
+    samples = pipeline.generate(TEXT, "aiden", max_tokens=12, seed=1)
+    spf = pipeline._samples_per_frame
+    assert len(samples) % spf == 0
+    assert len(samples) > 0
+    assert samples.dtype == np.float32
+    assert np.all(np.isfinite(samples))
+    assert np.abs(samples).max() <= 1.0
+
+
+def test_generate_seeded_reproducible(pipeline):
+    a = pipeline.generate(TEXT, "aiden", max_tokens=8, seed=7)
+    b = pipeline.generate(TEXT, "aiden", max_tokens=8, seed=7)
+    np.testing.assert_array_equal(a, b)
+
+
+def test_generate_speaker_embedding(pipeline):
+    emb = np.random.default_rng(0).normal(size=(64,)).astype(np.float32)
+    samples = pipeline.generate(TEXT, speaker_embedding=emb, max_tokens=6, seed=2)
+    assert np.all(np.isfinite(samples))
+
+
+def test_generate_voice_design_and_custom_voice(pipeline):
+    vd = pipeline.generate_voice_design(
+        TEXT, "a deep calm voice", max_tokens=6, seed=3
+    )
+    cv = pipeline.generate_custom_voice(
+        TEXT, "aiden", "say it cheerfully", max_tokens=6, seed=3
+    )
+    assert np.all(np.isfinite(vd)) and np.all(np.isfinite(cv))
+
+
+def test_generate_icl(pipeline):
+    ref_codes = [[1, 2, 3, 4]] + [[0] * 4] * 15
+    out = pipeline.generate_icl(
+        TEXT, "reference transcript", ref_codes, max_tokens=6, seed=4
+    )
+    assert np.all(np.isfinite(out))
+
+
+def test_generate_stream_mechanics(pipeline):
+    spf = pipeline._samples_per_frame
+    chunks = list(
+        pipeline.generate_stream(TEXT, "aiden", max_tokens=40, chunk_size=10, seed=5)
+    )
+    assert len(chunks) >= 2
+    assert all(isinstance(c, AudioChunk) for c in chunks)
+    # last chunk is the empty final sentinel (reference :607)
+    assert chunks[-1].is_final and len(chunks[-1].samples) == 0
+    body = chunks[:-1]
+    # non-final chunks carry exactly DECODE_CHUNK_SIZE frames of audio
+    from qwen3_tts_tpu.pipeline import DECODE_CHUNK_SIZE
+
+    for c in body[:-1]:
+        assert not c.is_final
+        assert len(c.samples) == DECODE_CHUNK_SIZE * spf
+    # token ranges are contiguous
+    starts = [c.token_range[0] for c in body]
+    ends = [c.token_range[1] for c in body]
+    assert starts[0] == 0
+    assert all(s == e for s, e in zip(starts[1:], ends[:-1]))
+    # stream total equals blocking generate total for same seed/settings
+    total_stream = sum(len(c.samples) for c in body)
+    assert total_stream == ends[-1] * spf
+
+
+def test_generate_batch_long_text(pipeline):
+    long_text = " ".join(["This is sentence number %d." % i for i in range(12)])
+    progress = []
+    samples = pipeline.generate_batch(
+        long_text, "aiden", temperature=0.8, on_progress=progress.append, seed=6
+    )
+    assert np.all(np.isfinite(samples))
+    assert progress[0] == 0.0 and progress[-1] == 1.0
+    assert len(samples) > 0
+
+
+def test_generate_to_file(pipeline, tmp_path):
+    out = tmp_path / "out.wav"
+    progress = []
+    count = pipeline.generate_to_file(
+        TEXT, out, "aiden", on_progress=progress.append, seed=8
+    )
+    assert count > 0
+    samples, sr = read_wav(out)
+    assert sr == 24000
+    assert len(samples) == count
+    assert progress[-1] == 1.0
+
+
+def test_short_prompt_guard(pipeline):
+    # < 9 prompt tokens -> no generation (reference Qwen3Talker.swift:348-352).
+    # The chat wrapper alone is >= 9 tokens with a real tokenizer, so exercise
+    # the guard with a degenerate tokenizer that emits a single id.
+    from qwen3_tts_tpu.models import prompt as prompt_mod
+
+    class OneTokenTokenizer:
+        def encode(self, text):
+            return [1]
+
+    pd = prompt_mod.assemble_prompt(
+        pipeline.params, pipeline.config, OneTokenTokenizer(), "hi", speaker="aiden"
+    )
+    assert pd is None
+
+
+def test_runtime_quantization_config(model_dir):
+    import jax.numpy as jnp
+
+    pl = Qwen3TTSPipeline(
+        model_dir,
+        Qwen3TTSPipelineConfiguration(apply_runtime_quantization=True),
+        dtype=jnp.float32,
+    )
+    assert "wq" in pl.params["layers"]["q_proj"]
+    samples = pl.generate(TEXT, "aiden", max_tokens=4, seed=1)
+    assert np.all(np.isfinite(samples))
