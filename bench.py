@@ -76,7 +76,7 @@ def main() -> None:
     # Warmup / compile (prefill + decode chunk). decode_chunk donates state, so
     # rebuild it per timed run.
     state = fresh_state()
-    frames, count, state = gen_mod.decode_chunk(params, cp_params, state, temp, statics)
+    frames, count, eos, state = gen_mod.decode_chunk(params, cp_params, state, temp, statics)
     frames.block_until_ready()
 
     n_chunks = 4
@@ -85,7 +85,7 @@ def main() -> None:
     total_frames = 0
     t0 = time.perf_counter()
     for _ in range(n_chunks):
-        frames, count, state = gen_mod.decode_chunk(
+        frames, count, eos, state = gen_mod.decode_chunk(
             params, cp_params, state, temp, statics
         )
     frames.block_until_ready()

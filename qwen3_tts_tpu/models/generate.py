@@ -115,12 +115,14 @@ def decode_chunk(
     state: dict,
     temperature: jax.Array,
     statics: GenStatics,
-) -> tuple[jax.Array, jax.Array, dict]:
+) -> tuple[jax.Array, jax.Array, jax.Array, dict]:
     """Generate up to `statics.chunk_steps` frames fully on device.
 
-    Returns (frames [chunk_steps, num_code_groups] int32, count int32, state).
-    Frames beyond `count` are zero-filled. state["eos"] is set when generation
-    stopped (EOS token or >6 consecutive pads — reference
+    Returns (frames [chunk_steps, num_code_groups] int32, count int32,
+    eos bool[], state). Frames beyond `count` are zero-filled; eos is returned
+    standalone (as well as in state) so prefetching callers can read it after
+    state's buffers have been donated to the next chunk. eos is set when
+    generation stopped (EOS token or >6 consecutive pads — reference
     Qwen3Talker.swift:485-494).
     """
     cfg = statics.config
@@ -235,7 +237,7 @@ def decode_chunk(
     state, out, count, _ = jax.lax.while_loop(
         cond, body, (state, out0, jnp.int32(0), jnp.int32(0))
     )
-    return out, count, state
+    return out, count, state["eos"], state
 
 
 # ---------------------------------------------------------------------------
@@ -296,9 +298,17 @@ def stream_codes(
 
     temp = jnp.float32(temperature)
     emitted = 0
+    # Depth-1 prefetch: dispatch chunk i+1 (async) before blocking on chunk
+    # i's results, so the device never idles across the host round trip. The
+    # EOS flag is read from chunk i while i+1 is in flight; at most one
+    # speculative chunk runs past EOS and its output is dropped.
+    pending = decode_chunk(params, cp_params, state, temp, statics)
     while emitted < max_tokens:
-        frames, count, state = decode_chunk(params, cp_params, state, temp, statics)
-        count = int(count)
+        frames, count, eos, state = pending
+        dispatch_next = emitted + statics.chunk_steps < max_tokens
+        if dispatch_next:
+            pending = decode_chunk(params, cp_params, state, temp, statics)
+        count = int(count)  # blocks on chunk i only
         if count > 0:
             chunk_np = np.asarray(frames[:count])
             # Cap at max_tokens (reference loops exactly maxTokens times)
@@ -307,7 +317,7 @@ def stream_codes(
             emitted += take
             if len(chunk_np) > 0:
                 yield chunk_np
-        if bool(state["eos"]):
+        if bool(eos) or not dispatch_next:
             break
 
 

@@ -47,7 +47,13 @@ def pack_bits_np(q: np.ndarray, bits: int) -> np.ndarray:
     q = np.asarray(q, dtype=np.uint32)
     n = q.shape[-1]
     assert (n * bits) % 32 == 0
-    # Expand each value to its bits as uint8 (LSB first), then repack.
+    if 32 % bits == 0:
+        # Fast path: values never cross word boundaries.
+        per = 32 // bits
+        vals = q.reshape(*q.shape[:-1], n // per, per).astype(np.uint64)
+        shifts = (np.arange(per, dtype=np.uint64) * bits)[None, :]
+        return (vals << shifts).sum(axis=-1).astype(np.uint32)
+    # Generic path: expand each value to its bits (LSB first), then repack.
     shifts = np.arange(bits, dtype=np.uint32)
     bits_arr = ((q[..., None] >> shifts) & 1).astype(np.uint8)  # [..., N, bits]
     flat = bits_arr.reshape(*q.shape[:-1], n * bits)
@@ -59,6 +65,12 @@ def pack_bits_np(q: np.ndarray, bits: int) -> np.ndarray:
 def unpack_bits_np(packed: np.ndarray, bits: int, n: int) -> np.ndarray:
     """Inverse of pack_bits_np -> uint32 values [..., n]."""
     packed = np.asarray(packed, dtype=np.uint32)
+    if 32 % bits == 0:
+        per = 32 // bits
+        shifts = (np.arange(per, dtype=np.uint32) * bits)[None, :]
+        mask = np.uint32((1 << bits) - 1)
+        vals = (packed[..., None] >> shifts) & mask
+        return vals.reshape(*packed.shape[:-1], packed.shape[-1] * per)[..., :n]
     shifts = np.arange(32, dtype=np.uint32)
     bit_arr = ((packed[..., None] >> shifts) & 1).astype(np.uint8)
     flat = bit_arr.reshape(*packed.shape[:-1], packed.shape[-1] * 32)

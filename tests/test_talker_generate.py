@@ -162,8 +162,8 @@ def test_decode_window_trim_schedule(models, tok):
                       pd.tts_pad_embed, jax.random.PRNGKey(0), statics)
     assert int(state["total_len"]) == p
     assert int(state["window_start"]) == 0
-    _, count, state = G.decode_chunk(params, cp_params, state,
-                                     jnp.float32(0.9), statics)
+    _, count, _eos, state = G.decode_chunk(params, cp_params, state,
+                                           jnp.float32(0.9), statics)
     # after 16 steps one trim boundary (step 15) passed; window_start =
     # max(0, p+15-192) which is 0 for tiny prompts — check step counter advanced
     assert int(state["step"]) == int(count) if bool(state["eos"]) else 16
