@@ -62,6 +62,8 @@ class Qwen3Tokenizer:
         self.loaded = False
         self._cache: dict[str, list[str]] = {}
 
+        self._native = None
+
         if vocab is not None:
             # Manual init (reference Qwen3Tokenizer.swift:56-70)
             self.vocab = dict(vocab)
@@ -76,6 +78,19 @@ class Qwen3Tokenizer:
                 self.loaded = True
             except (OSError, KeyError, ValueError, json.JSONDecodeError):
                 self.loaded = False
+
+        if self.loaded:
+            self._init_native()
+
+    def _init_native(self) -> None:
+        """Attach the C++ BPE core when available (native/qbpe.cpp); the
+        pure-Python path below remains the fallback."""
+        try:
+            from .native_bpe import NativeBpe
+
+            self._native = NativeBpe(self.vocab, self.merges)
+        except Exception:
+            self._native = None
 
     # -- loading ----------------------------------------------------------
 
@@ -210,6 +225,13 @@ class Qwen3Tokenizer:
     def _encode_regular(self, text: str) -> list[int]:
         ids: list[int] = []
         sub_tokens = _SPLIT_PATTERN.findall(text) or [text]
+        if self._native is not None:
+            space_char = "Ġ" if "Ġ" in self.vocab else " "
+            newline_char = "Ċ" if "Ċ" in self.vocab else "\n"
+            for token in sub_tokens:
+                mapped = token.replace(" ", space_char).replace("\n", newline_char)
+                ids.extend(self._native.encode_word(mapped))
+            return ids
         for token in sub_tokens:
             for piece in self._bpe(token):
                 pid = self.vocab.get(piece)
