@@ -113,6 +113,21 @@ def _linear_entry(w: dict, prefix: str, dtype) -> dict:
     return entry
 
 
+def _fuse_out(*entries: dict) -> dict:
+    """Fuse linear params along the OUTPUT axis (q/k/v -> qkv, gate/up ->
+    gateup). Output rows are independent, so results are bitwise identical to
+    separate matmuls; works for dense ("w"), packed ("wq"/"scales"/"biases"/
+    "wq_kl" — rows are packed independently), and biases ("b")."""
+    keys = entries[0].keys()
+    for e in entries[1:]:
+        if e.keys() != keys:
+            raise ValueError(
+                "cannot fuse linears with mismatched structures "
+                f"({sorted(keys)} vs {sorted(e.keys())})"
+            )
+    return {k: np.concatenate([e[k] for e in entries], axis=0) for k in keys}
+
+
 def _stack(entries: list[dict]) -> dict:
     """Stack a list of homogeneous param dicts on a new leading axis."""
     keys = entries[0].keys()
@@ -185,12 +200,19 @@ def load_talker_checkpoint(
             ),
             "q_norm": layer_field("layers.{i}.self_attn.q_norm", lambda p: norm(p)),
             "k_norm": layer_field("layers.{i}.self_attn.k_norm", lambda p: norm(p)),
-            "q_proj": layer_field("layers.{i}.self_attn.q_proj", lin),
-            "k_proj": layer_field("layers.{i}.self_attn.k_proj", lin),
-            "v_proj": layer_field("layers.{i}.self_attn.v_proj", lin),
+            "qkv_proj": layer_field(
+                "layers.{i}", lambda pre: _fuse_out(
+                    lin(f"{pre}.self_attn.q_proj"),
+                    lin(f"{pre}.self_attn.k_proj"),
+                    lin(f"{pre}.self_attn.v_proj"),
+                )
+            ),
             "o_proj": layer_field("layers.{i}.self_attn.o_proj", lin),
-            "gate_proj": layer_field("layers.{i}.mlp.gate_proj", lin),
-            "up_proj": layer_field("layers.{i}.mlp.up_proj", lin),
+            "gateup_proj": layer_field(
+                "layers.{i}", lambda pre: _fuse_out(
+                    lin(f"{pre}.mlp.gate_proj"), lin(f"{pre}.mlp.up_proj")
+                )
+            ),
             "down_proj": layer_field("layers.{i}.mlp.down_proj", lin),
         },
     }
@@ -233,12 +255,19 @@ def load_talker_checkpoint(
             "k_norm": cp_layer_field(
                 "code_predictor.layers.{i}.self_attn.k_norm", lambda p: norm(p)
             ),
-            "q_proj": cp_layer_field("code_predictor.layers.{i}.self_attn.q_proj", lin),
-            "k_proj": cp_layer_field("code_predictor.layers.{i}.self_attn.k_proj", lin),
-            "v_proj": cp_layer_field("code_predictor.layers.{i}.self_attn.v_proj", lin),
+            "qkv_proj": cp_layer_field(
+                "code_predictor.layers.{i}", lambda pre: _fuse_out(
+                    lin(f"{pre}.self_attn.q_proj"),
+                    lin(f"{pre}.self_attn.k_proj"),
+                    lin(f"{pre}.self_attn.v_proj"),
+                )
+            ),
             "o_proj": cp_layer_field("code_predictor.layers.{i}.self_attn.o_proj", lin),
-            "gate_proj": cp_layer_field("code_predictor.layers.{i}.mlp.gate_proj", lin),
-            "up_proj": cp_layer_field("code_predictor.layers.{i}.mlp.up_proj", lin),
+            "gateup_proj": cp_layer_field(
+                "code_predictor.layers.{i}", lambda pre: _fuse_out(
+                    lin(f"{pre}.mlp.gate_proj"), lin(f"{pre}.mlp.up_proj")
+                )
+            ),
             "down_proj": cp_layer_field("code_predictor.layers.{i}.mlp.down_proj", lin),
         },
     }

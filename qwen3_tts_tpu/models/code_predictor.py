@@ -62,12 +62,11 @@ def init_cp_params(
             "post_attention_layernorm": {"w": jnp.ones((nl, hc), dtype)},
             "q_norm": {"w": jnp.ones((nl, hd), dtype)},
             "k_norm": {"w": jnp.ones((nl, hd), dtype)},
-            "q_proj": stack(lambda k: _dense(k, nq * hd, hc), keys[2]),
-            "k_proj": stack(lambda k: _dense(k, nkv * hd, hc), keys[3]),
-            "v_proj": stack(lambda k: _dense(k, nkv * hd, hc), keys[4]),
+            "qkv_proj": stack(lambda k: _dense(k, (nq + 2 * nkv) * hd, hc), keys[2]),
             "o_proj": stack(lambda k: _dense(k, hc, nq * hd), keys[5]),
-            "gate_proj": stack(lambda k: _dense(k, config.intermediate_size, hc), keys[6]),
-            "up_proj": stack(lambda k: _dense(k, config.intermediate_size, hc), keys[7]),
+            "gateup_proj": stack(
+                lambda k: _dense(k, 2 * config.intermediate_size, hc), keys[6]
+            ),
             "down_proj": stack(lambda k: _dense(k, hc, config.intermediate_size), keys[8]),
         },
     }
@@ -117,9 +116,10 @@ def _cp_forward(
     for i in range(config.num_hidden_layers):
         lp = jax.tree.map(lambda a: a[i], params["layers"])
         xin = rms_norm(h, lp["input_layernorm"]["w"], config.rms_norm_eps)
-        q = linear(lp["q_proj"], xin).reshape(b, l, nq, hd)
-        k = linear(lp["k_proj"], xin).reshape(b, l, nkv, hd)
-        v = linear(lp["v_proj"], xin).reshape(b, l, nkv, hd)
+        qkv = linear(lp["qkv_proj"], xin)
+        q = qkv[..., : nq * hd].reshape(b, l, nq, hd)
+        k = qkv[..., nq * hd : (nq + nkv) * hd].reshape(b, l, nkv, hd)
+        v = qkv[..., (nq + nkv) * hd :].reshape(b, l, nkv, hd)
         q = rms_norm(q, lp["q_norm"]["w"], config.rms_norm_eps)
         k = rms_norm(k, lp["k_norm"]["w"], config.rms_norm_eps)
         q = q.transpose(0, 2, 1, 3)
@@ -141,9 +141,9 @@ def _cp_forward(
         attn = attn.transpose(0, 2, 1, 3).reshape(b, l, -1)
         h = h + linear(lp["o_proj"], attn)
         x2 = rms_norm(h, lp["post_attention_layernorm"]["w"], config.rms_norm_eps)
-        m = linear(lp["down_proj"],
-                   jax.nn.silu(linear(lp["gate_proj"], x2)) * linear(lp["up_proj"], x2))
-        h = h + m
+        gu = linear(lp["gateup_proj"], x2)
+        ci = config.intermediate_size
+        h = h + linear(lp["down_proj"], jax.nn.silu(gu[..., :ci]) * gu[..., ci:])
 
     h = rms_norm(h, params["norm"]["w"], config.rms_norm_eps)
     return h[:, -1:, :], cache_k, cache_v

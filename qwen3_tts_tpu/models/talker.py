@@ -71,12 +71,15 @@ def init_talker_params(config: Qwen3TTSConfig, key: jax.Array, dtype=jnp.float32
             "post_attention_layernorm": {"w": jnp.ones((nl, h), dtype)},
             "q_norm": {"w": jnp.ones((nl, hd), dtype)},
             "k_norm": {"w": jnp.ones((nl, hd), dtype)},
-            "q_proj": stack(lambda k: _dense(k, nq * hd, h, dtype), keys[5]),
-            "k_proj": stack(lambda k: _dense(k, nkv * hd, h, dtype), keys[6]),
-            "v_proj": stack(lambda k: _dense(k, nkv * hd, h, dtype), keys[7]),
+            # q/k/v and gate/up are FUSED on the output axis: one matmul each
+            # instead of three/two — bitwise-identical outputs (independent
+            # rows), far fewer tiny ops in the decode loop (profiled: decode
+            # is per-op-latency-bound on v5e).
+            "qkv_proj": stack(lambda k: _dense(k, (nq + 2 * nkv) * hd, h, dtype), keys[5]),
             "o_proj": stack(lambda k: _dense(k, h, nq * hd, dtype), keys[8]),
-            "gate_proj": stack(lambda k: _dense(k, config.intermediate_size, h, dtype), keys[9]),
-            "up_proj": stack(lambda k: _dense(k, config.intermediate_size, h, dtype), keys[10]),
+            "gateup_proj": stack(
+                lambda k: _dense(k, 2 * config.intermediate_size, h, dtype), keys[9]
+            ),
             "down_proj": stack(lambda k: _dense(k, h, config.intermediate_size, dtype), keys[11]),
         },
     }
@@ -140,15 +143,16 @@ def _rope_cos_sin(config: Qwen3TTSConfig, positions: jax.Array):
 
 
 def _layer_qkv(layer_p: dict, x: jax.Array, cos, sin, config: Qwen3TTSConfig):
-    """Shared q/k/v computation for one layer. x: [B, L, H]."""
+    """Shared q/k/v computation for one layer (fused qkv matmul). x: [B, L, H]."""
     b, l, _ = x.shape
     hd = config.head_dim
     nq = config.num_attention_heads
     nkv = config.num_key_value_heads
 
-    q = linear(layer_p["q_proj"], x).reshape(b, l, nq, hd)
-    k = linear(layer_p["k_proj"], x).reshape(b, l, nkv, hd)
-    v = linear(layer_p["v_proj"], x).reshape(b, l, nkv, hd)
+    qkv = linear(layer_p["qkv_proj"], x)
+    q = qkv[..., : nq * hd].reshape(b, l, nq, hd)
+    k = qkv[..., nq * hd : (nq + nkv) * hd].reshape(b, l, nkv, hd)
+    v = qkv[..., (nq + nkv) * hd :].reshape(b, l, nkv, hd)
 
     q = rms_norm(q, layer_p["q_norm"]["w"], config.rms_norm_eps)
     k = rms_norm(k, layer_p["k_norm"]["w"], config.rms_norm_eps)
@@ -162,6 +166,12 @@ def _layer_qkv(layer_p: dict, x: jax.Array, cos, sin, config: Qwen3TTSConfig):
     q = rope_ops.apply_rope(q, c, s)
     k = rope_ops.apply_rope(k, c, s)
     return q, k, v
+
+
+def _swiglu(lp: dict, x: jax.Array, intermediate: int) -> jax.Array:
+    """Fused gate/up SwiGLU: one matmul, split, silu(gate) * up."""
+    gu = linear(lp["gateup_proj"], x)
+    return jax.nn.silu(gu[..., :intermediate]) * gu[..., intermediate:]
 
 
 def talker_prefill(
@@ -192,8 +202,7 @@ def talker_prefill(
         attn = attn.transpose(0, 2, 1, 3).reshape(b, p_pad, -1)
         h = h + linear(lp["o_proj"], attn)
         x2 = rms_norm(h, lp["post_attention_layernorm"]["w"], config.rms_norm_eps)
-        m = linear(lp["down_proj"],
-                   jax.nn.silu(linear(lp["gate_proj"], x2)) * linear(lp["up_proj"], x2))
+        m = linear(lp["down_proj"], _swiglu(lp, x2, config.intermediate_size))
         return h + m, (k, v)
 
     h, (k_all, v_all) = jax.lax.scan(body, embeds, layer_params)
@@ -261,8 +270,6 @@ def talker_decode_step(
         attn = attn.transpose(0, 2, 1, 3).reshape(b, 1, -1)
         h = h + linear(lp["o_proj"], attn)
         x2 = rms_norm(h, lp["post_attention_layernorm"]["w"], config.rms_norm_eps)
-        m = linear(lp["down_proj"],
-                   jax.nn.silu(linear(lp["gate_proj"], x2)) * linear(lp["up_proj"], x2))
-        h = h + m
+        h = h + linear(lp["down_proj"], _swiglu(lp, x2, config.intermediate_size))
     h = rms_norm(h, params["norm"]["w"], config.rms_norm_eps)
     return h, {"k": k_cache, "v": v_cache, "pos": new_pos}

@@ -29,7 +29,15 @@ def linear(params: dict, x: jax.Array) -> jax.Array:
     """y = x @ W.T (+ b). Quantized weights go through the Pallas TPU kernel
     (ops/pallas/quant_matmul) for word-aligned bit widths, else an inline
     dequant that XLA fuses into the matmul."""
-    if "wq" in params:
+    if "w8" in params:
+        # int8 affine storage: dequant is a cast + fused multiply-add. On TPU
+        # the Pallas kernel dequantizes tile-by-tile in VMEM so HBM weight
+        # traffic stays at 1 byte/weight (XLA would materialize the dequantized
+        # bf16 matrix to HBM); off-TPU (or without "w8_kl") a jnp path is used.
+        from .pallas.quant_matmul import int8_matmul
+
+        y = int8_matmul(x, params)
+    elif "wq" in params:
         from .pallas.quant_matmul import quantized_matmul
 
         in_dim = x.shape[-1]

@@ -192,3 +192,88 @@ def add_kernel_layout(entry: dict, bits: int, group_size: int) -> dict:
     flat = wq.reshape(-1, wq.shape[-2], wq.shape[-1])
     kl = np.stack([repack_for_kernel(m, bits, group_size) for m in flat])
     return {**entry, "wq_kl": kl.reshape(*lead, wq.shape[-2], wq.shape[-1])}
+
+
+# ---------------------------------------------------------------------------
+# int8 affine kernel (byte storage, no bit packing — dequant is cast + FMA
+# in VMEM, so HBM weight traffic halves vs bf16 with negligible VPU cost)
+# ---------------------------------------------------------------------------
+
+
+def repack_int8_for_kernel(w8: np.ndarray, group_size: int) -> np.ndarray:
+    """Permute the K axis into the kernel lane order (j = i*G + g) so the
+    per-group scales expand with tile-semantics pltpu.repeat."""
+    k = w8.shape[-1]
+    return np.ascontiguousarray(w8[..., kernel_lane_order(k, group_size)])
+
+
+def _kernel_int8(x_ref, w8_ref, scales_ref, biases_ref, out_ref, *, group_size):
+    # Mosaic lacks direct unsigned->float casts; go via int32 (exact for 0..255).
+    w = w8_ref[:].astype(jnp.int32).astype(jnp.float32)  # [TO, K]
+    s = pltpu.repeat(scales_ref[:], group_size, axis=1)
+    b = pltpu.repeat(biases_ref[:], group_size, axis=1)
+    w = w * s + b
+    x = x_ref[:].astype(jnp.float32)
+    out_ref[:] = jax.lax.dot_general(
+        x, w,
+        dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    ).astype(out_ref.dtype)
+
+
+@functools.partial(
+    jax.jit, static_argnames=("group_size", "tile_out", "interpret")
+)
+def quantized_matmul_int8_pallas(
+    x: jax.Array,
+    w8_kl: jax.Array,
+    scales: jax.Array,
+    biases: jax.Array,
+    *,
+    group_size: int,
+    tile_out: int = 512,
+    interpret: bool = False,
+) -> jax.Array:
+    """x [M, K] @ dequant(int8 kernel-layout w8 [O, K]).T -> [M, O]."""
+    m, k = x.shape
+    o = w8_kl.shape[0]
+    tile_out = min(tile_out, o)
+    while o % tile_out != 0:
+        tile_out //= 2
+    xp = permute_activations(x, group_size)
+    return pl.pallas_call(
+        functools.partial(_kernel_int8, group_size=group_size),
+        out_shape=jax.ShapeDtypeStruct((m, o), x.dtype),
+        grid=(o // tile_out,),
+        in_specs=[
+            pl.BlockSpec((m, k), lambda i: (0, 0)),
+            pl.BlockSpec((tile_out, k), lambda i: (i, 0)),
+            pl.BlockSpec((tile_out, scales.shape[1]), lambda i: (i, 0)),
+            pl.BlockSpec((tile_out, scales.shape[1]), lambda i: (i, 0)),
+        ],
+        out_specs=pl.BlockSpec((m, tile_out), lambda i: (0, i)),
+        interpret=interpret,
+    )(xp, w8_kl, scales, biases)
+
+
+def int8_matmul(x: jax.Array, params: dict) -> jax.Array:
+    """Dispatch for int8 affine linear params: Pallas on TPU when the
+    kernel-layout copy is present, jnp dequant otherwise."""
+    lead = x.shape[:-1]
+    x2 = x.reshape(-1, x.shape[-1])
+    k = x.shape[-1]
+    g = params["scales"].shape[-1]
+    group = k // g
+    if "w8_kl" in params and jax.default_backend() == "tpu":
+        y = quantized_matmul_int8_pallas(
+            x2, params["w8_kl"], params["scales"], params["biases"], group_size=group
+        )
+        o = params["w8_kl"].shape[0]
+    else:
+        w8 = params["w8"]
+        o = w8.shape[0]
+        wf = w8.astype(x.dtype).reshape(o, g, group)
+        wf = wf * params["scales"].astype(x.dtype)[..., None]
+        wf = wf + params["biases"].astype(x.dtype)[..., None]
+        y = x2 @ wf.reshape(o, k).T
+    return y.reshape(*lead, o)

@@ -203,7 +203,7 @@ def quantized_matmul_ref(
 
 # Linear modules quantized at 6 bits (attention q/k/v + heads); everything
 # else quantizable gets 4 bits, group size 64 — the reference's mixed scheme.
-_SIX_BIT_NAMES = ("q_proj", "k_proj", "v_proj", "codec_head", "lm_head")
+_SIX_BIT_NAMES = ("qkv_proj", "codec_head", "lm_head")
 
 
 def _quantize_linear_entry(
@@ -245,10 +245,7 @@ def apply_mixed_quantization(
         kernel_layout = jax.default_backend() == "tpu"
     linear_paths = {
         "text_projection": ("fc1", "fc2"),
-        "layers": (
-            "q_proj", "k_proj", "v_proj", "o_proj",
-            "gate_proj", "up_proj", "down_proj",
-        ),
+        "layers": ("qkv_proj", "o_proj", "gateup_proj", "down_proj"),
     }
     out = dict(params)
     for group, names in linear_paths.items():
@@ -273,4 +270,77 @@ def apply_mixed_quantization(
             if in_dim % group_size or (in_dim * bits) % 32:
                 continue
             out[name] = _quantize_linear_entry(out[name], bits, group_size, kernel_layout)
+    return out
+
+
+def quantize_int8_np(
+    w: np.ndarray, group_size: int = 64
+) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Affine int8 quantization with byte storage (no bit packing):
+    w ~= scales * q + biases with q uint8 per group of `group_size` inputs.
+    The TPU-recommended quantized serving format (dequant = cast + FMA in
+    VMEM, see ops/pallas/quant_matmul.py::_kernel_int8)."""
+    w = np.asarray(w, np.float32)
+    out_dim, in_dim = w.shape
+    if in_dim % group_size != 0:
+        raise ValueError(f"in_dim {in_dim} not divisible by group {group_size}")
+    g = w.reshape(out_dim, in_dim // group_size, group_size)
+    w_min = g.min(axis=-1)
+    w_max = g.max(axis=-1)
+    scales = np.maximum((w_max - w_min) / 255.0, 1e-12).astype(np.float32)
+    biases = w_min.astype(np.float32)
+    q = np.clip(np.round((g - biases[..., None]) / scales[..., None]), 0, 255)
+    return q.reshape(out_dim, in_dim).astype(np.uint8), scales, biases
+
+
+def _quantize_int8_entry(entry: dict, group_size: int, kernel_layout: bool) -> dict:
+    w = np.asarray(entry["w"], np.float32)
+    lead = w.shape[:-2]
+    w2 = w.reshape(-1, w.shape[-2], w.shape[-1])
+    q, scales, biases = zip(*(quantize_int8_np(wi, group_size) for wi in w2))
+    out = {
+        "w8": np.stack(q).reshape(*lead, w.shape[-2], w.shape[-1]),
+        "scales": np.stack(scales).reshape(*lead, w.shape[-2], -1),
+        "biases": np.stack(biases).reshape(*lead, w.shape[-2], -1),
+    }
+    if "b" in entry:
+        out["b"] = entry["b"]
+    if kernel_layout:
+        from .pallas.quant_matmul import repack_int8_for_kernel
+
+        out["w8_kl"] = repack_int8_for_kernel(out["w8"], group_size)
+    return out
+
+
+def apply_int8_quantization(
+    params: dict, group_size: int = 64, kernel_layout: bool | None = None
+) -> dict:
+    """Quantize every Linear in a talker/code-predictor tree to int8 affine —
+    the TPU-native quantized serving preset (all layers 8-bit; the reference's
+    mixed 4/6-bit scheme is available via apply_mixed_quantization)."""
+    if kernel_layout is None:
+        import jax
+
+        kernel_layout = jax.default_backend() == "tpu"
+    linear_paths = {
+        "text_projection": ("fc1", "fc2"),
+        "layers": ("qkv_proj", "o_proj", "gateup_proj", "down_proj"),
+    }
+    out = dict(params)
+    for group, names in linear_paths.items():
+        if group not in out:
+            continue
+        sub = dict(out[group])
+        for name in names:
+            if name not in sub or "w" not in sub[name]:
+                continue
+            if np.asarray(sub[name]["w"]).shape[-1] % group_size:
+                continue
+            sub[name] = _quantize_int8_entry(sub[name], group_size, kernel_layout)
+        out[group] = sub
+    for name in ("codec_head", "small_to_mtp_projection"):
+        if name in out and "w" in out[name]:
+            if np.asarray(out[name]["w"]).shape[-1] % group_size:
+                continue
+            out[name] = _quantize_int8_entry(out[name], group_size, kernel_layout)
     return out

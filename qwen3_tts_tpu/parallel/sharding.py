@@ -8,10 +8,11 @@ purely as `NamedSharding` annotations. XLA inserts the all-reduces over ICI;
 there are no explicit collectives anywhere in the model code.
 
 Layout (stacked layer weights, leading axis = layer):
-  q/k/v_proj [L, heads*hd, H]  -> shard axis 1 on "tp" (head-parallel)
-  o_proj     [L, H, heads*hd]  -> shard axis 2 on "tp" (row-parallel)
-  gate/up    [L, I, H]         -> shard axis 1 on "tp" (column-parallel)
-  down       [L, H, I]         -> shard axis 2 on "tp" (row-parallel)
+  qkv_proj   [L, (q+2kv)*hd, H] -> shard axis 1 on "tp" (fused; XLA reshards
+                                   the post-matmul split as needed)
+  o_proj     [L, H, heads*hd]   -> shard axis 2 on "tp" (row-parallel)
+  gateup_proj [L, 2I, H]        -> shard axis 1 on "tp"
+  down       [L, H, I]          -> shard axis 2 on "tp" (row-parallel)
   norms / embeddings / codec_head: replicated (tiny next to the matmuls)
 Activations: batch axis on "dp".
 """
@@ -63,12 +64,9 @@ def talker_param_pspecs(config: Qwen3TTSConfig) -> dict:
             "post_attention_layernorm": {"w": rep},
             "q_norm": {"w": rep},
             "k_norm": {"w": rep},
-            "q_proj": {"w": P(None, "tp", None)},
-            "k_proj": {"w": P(None, "tp", None)},
-            "v_proj": {"w": P(None, "tp", None)},
+            "qkv_proj": {"w": P(None, "tp", None)},
             "o_proj": {"w": P(None, None, "tp")},
-            "gate_proj": {"w": P(None, "tp", None)},
-            "up_proj": {"w": P(None, "tp", None)},
+            "gateup_proj": {"w": P(None, "tp", None)},
             "down_proj": {"w": P(None, None, "tp")},
         },
     }

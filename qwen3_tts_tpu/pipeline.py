@@ -56,9 +56,18 @@ class AudioChunk:
 
 @dataclass(frozen=True)
 class Qwen3TTSPipelineConfiguration:
-    """Pipeline options (reference Qwen3TTSPipeline.swift:22-54)."""
+    """Pipeline options (reference Qwen3TTSPipeline.swift:22-54).
+
+    runtime_quantization_mode:
+      "mixed_4_6" — the reference's scheme (6-bit qkv/heads, 4-bit rest,
+                    group 64; Qwen3TTSPipeline.swift:961-980)
+      "int8"      — TPU-native preset: all linears int8 affine, dequantized
+                    in VMEM by the Pallas kernel (fastest quantized decode
+                    on v5e; see ops/pallas/quant_matmul.py)
+    """
 
     apply_runtime_quantization: bool = False
+    runtime_quantization_mode: str = "mixed_4_6"
     default_temperature: float = 0.85
     default_max_tokens: int = 2400
     default_streaming_chunk_size: int = 12
@@ -111,8 +120,14 @@ class Qwen3TTSPipeline:
             self.pipeline_config.apply_runtime_quantization
             and self.config.quantization is None
         ):
-            params = apply_mixed_quantization(params)
-            cp_params = apply_mixed_quantization(cp_params)
+            if self.pipeline_config.runtime_quantization_mode == "int8":
+                from .ops.quant import apply_int8_quantization
+
+                params = apply_int8_quantization(params)
+                cp_params = apply_int8_quantization(cp_params)
+            else:
+                params = apply_mixed_quantization(params)
+                cp_params = apply_mixed_quantization(cp_params)
 
         # Cast on host (ml_dtypes handles bf16 in numpy), then one async
         # device_put of the whole tree — per-leaf jnp.asarray converts would
@@ -439,6 +454,18 @@ class Qwen3TTSPipeline:
         yield AudioChunk(
             samples=np.zeros(0, np.float32), token_range=(total, total), is_final=True
         )
+
+    def generate_stream_voice_design(
+        self, text: str, voice_description: str, **kwargs
+    ) -> Iterator[AudioChunk]:
+        """Streaming VoiceDesign (reference Qwen3TTSPipeline.swift:386-408)."""
+        return self.generate_stream(text, instruct=voice_description, **kwargs)
+
+    def generate_stream_custom_voice(
+        self, text: str, speaker: str, instruct: str, **kwargs
+    ) -> Iterator[AudioChunk]:
+        """Streaming CustomVoice (reference Qwen3TTSPipeline.swift:458-480)."""
+        return self.generate_stream(text, speaker, instruct=instruct, **kwargs)
 
     # -- long text -------------------------------------------------------
 

@@ -194,22 +194,33 @@ def export_talker_checkpoint(params, cp_params, config) -> dict:
     put_linear(f"{t}.codec_head", params["codec_head"])
     out[f"{t}.norm.weight"] = np.asarray(params["norm"]["w"])
 
-    lp = params["layers"]
-    for i in range(config.num_hidden_layers):
-        p = f"{t}.layers.{i}"
-        out[f"{p}.input_layernorm.weight"] = np.asarray(lp["input_layernorm"]["w"][i])
-        out[f"{p}.post_attention_layernorm.weight"] = np.asarray(
+    def put_layer(prefix, lp, i, nq_hd, nkv_hd, inter):
+        out[f"{prefix}.input_layernorm.weight"] = np.asarray(lp["input_layernorm"]["w"][i])
+        out[f"{prefix}.post_attention_layernorm.weight"] = np.asarray(
             lp["post_attention_layernorm"]["w"][i]
         )
-        out[f"{p}.self_attn.q_norm.weight"] = np.asarray(lp["q_norm"]["w"][i])
-        out[f"{p}.self_attn.k_norm.weight"] = np.asarray(lp["k_norm"]["w"][i])
-        for name in ("q_proj", "k_proj", "v_proj", "o_proj"):
-            put_linear(
-                f"{p}.self_attn.{name}",
-                {k: v[i] for k, v in lp[name].items()},
-            )
-        for name in ("gate_proj", "up_proj", "down_proj"):
-            put_linear(f"{p}.mlp.{name}", {k: v[i] for k, v in lp[name].items()})
+        out[f"{prefix}.self_attn.q_norm.weight"] = np.asarray(lp["q_norm"]["w"][i])
+        out[f"{prefix}.self_attn.k_norm.weight"] = np.asarray(lp["k_norm"]["w"][i])
+        # fused qkv/gateup are stored separately in reference checkpoints
+        qkv = {k: v[i] for k, v in lp["qkv_proj"].items()}
+        splits = (nq_hd, nq_hd + nkv_hd)
+        put_linear(f"{prefix}.self_attn.q_proj", {k: v[: splits[0]] for k, v in qkv.items()})
+        put_linear(f"{prefix}.self_attn.k_proj", {k: v[splits[0]: splits[1]] for k, v in qkv.items()})
+        put_linear(f"{prefix}.self_attn.v_proj", {k: v[splits[1]:] for k, v in qkv.items()})
+        put_linear(f"{prefix}.self_attn.o_proj", {k: v[i] for k, v in lp["o_proj"].items()})
+        gu = {k: v[i] for k, v in lp["gateup_proj"].items()}
+        put_linear(f"{prefix}.mlp.gate_proj", {k: v[:inter] for k, v in gu.items()})
+        put_linear(f"{prefix}.mlp.up_proj", {k: v[inter:] for k, v in gu.items()})
+        put_linear(f"{prefix}.mlp.down_proj", {k: v[i] for k, v in lp["down_proj"].items()})
+
+    lp = params["layers"]
+    for i in range(config.num_hidden_layers):
+        put_layer(
+            f"{t}.layers.{i}", lp, i,
+            config.num_attention_heads * config.head_dim,
+            config.num_key_value_heads * config.head_dim,
+            config.intermediate_size,
+        )
 
     c = "talker.code_predictor.model"
     cp_cfg = config.code_predictor_config
@@ -224,19 +235,12 @@ def export_talker_checkpoint(params, cp_params, config) -> dict:
         put_linear(f"{c}.small_to_mtp_projection", cp_params["small_to_mtp_projection"])
     clp = cp_params["layers"]
     for i in range(cp_cfg.num_hidden_layers):
-        p = f"{c}.layers.{i}"
-        out[f"{p}.input_layernorm.weight"] = np.asarray(clp["input_layernorm"]["w"][i])
-        out[f"{p}.post_attention_layernorm.weight"] = np.asarray(
-            clp["post_attention_layernorm"]["w"][i]
+        put_layer(
+            f"{c}.layers.{i}", clp, i,
+            cp_cfg.num_attention_heads * cp_cfg.head_dim,
+            cp_cfg.num_key_value_heads * cp_cfg.head_dim,
+            cp_cfg.intermediate_size,
         )
-        out[f"{p}.self_attn.q_norm.weight"] = np.asarray(clp["q_norm"]["w"][i])
-        out[f"{p}.self_attn.k_norm.weight"] = np.asarray(clp["k_norm"]["w"][i])
-        for name in ("q_proj", "k_proj", "v_proj", "o_proj"):
-            put_linear(
-                f"{p}.self_attn.{name}", {k: v[i] for k, v in clp[name].items()}
-            )
-        for name in ("gate_proj", "up_proj", "down_proj"):
-            put_linear(f"{p}.mlp.{name}", {k: v[i] for k, v in clp[name].items()})
     return out
 
 

@@ -20,7 +20,7 @@ cache = talker_mod.init_kv_cache(config, 512, 1, dtype)
 embed = jnp.zeros((1, 1, config.hidden_size), dtype)
 
 @jax.jit
-def talker_loop(embed, cache):
+def talker_loop(params, embed, cache):
     def body(i, carry):
         e, c = carry
         h, c = talker_mod.talker_decode_step(params, e, c, jnp.int32(100) + i,
@@ -29,7 +29,7 @@ def talker_loop(embed, cache):
     return jax.lax.fori_loop(0, N, body, (embed, cache))
 
 @jax.jit
-def cp_loop(h0):
+def cp_loop(cp_params, h0):
     def body(i, carry):
         h, acc = carry
         codes, embed_sum, _ = cp_mod.predict_frame(
@@ -57,9 +57,9 @@ h0 = jnp.zeros((1, 1, config.hidden_size), dtype)
 logits = jnp.zeros((config.vocab_size,), jnp.float32)
 which = sys.argv[1] if len(sys.argv) > 1 else "all"
 if which in ("talker", "all"):
-    bench("talker_decode_step", talker_loop, embed, cache)
+    bench("talker_decode_step", talker_loop, params, embed, cache)
 if which in ("cp", "all"):
-    bench("cp_predict_frame(15 groups)", cp_loop, h0)
+    bench("cp_predict_frame(15 groups)", cp_loop, cp_params, h0)
 if which in ("sample", "all"):
     bench("sample_token", sample_loop, logits)
 print("DONE", flush=True)

@@ -119,8 +119,8 @@ def test_prequantized_checkpoint_keeps_packed():
             weights[k.replace(".weight", ".scales")] = s
             weights[k.replace(".weight", ".biases")] = b
     loaded, _ = ckpt.load_talker_checkpoint(weights, config)
-    assert "wq" in loaded["layers"]["q_proj"]
-    assert loaded["layers"]["q_proj"]["wq"].shape[0] == config.num_hidden_layers
+    assert "wq" in loaded["layers"]["qkv_proj"]
+    assert loaded["layers"]["qkv_proj"]["wq"].shape[0] == config.num_hidden_layers
 
 
 def test_vocoder_checkpoint_round_trip():

@@ -137,3 +137,68 @@ def test_linear_quantized_path():
     yq = np.asarray(linear(qp, jnp.asarray(x)))
     yd = np.asarray(linear({"w": jnp.asarray(w)}, jnp.asarray(x)))
     assert np.max(np.abs(yq - yd)) < 0.2
+
+
+def test_int8_kernel_matches_jnp_path():
+    from qwen3_tts_tpu.ops.pallas.quant_matmul import (
+        int8_matmul,
+        quantized_matmul_int8_pallas,
+        repack_int8_for_kernel,
+    )
+    from qwen3_tts_tpu.ops.quant import quantize_int8_np
+
+    rng = np.random.default_rng(4)
+    k, o, g = 256, 512, 64
+    w = rng.normal(size=(o, k)).astype(np.float32)
+    x = rng.normal(size=(3, k)).astype(np.float32)
+    w8, scales, biases = quantize_int8_np(w, g)
+
+    # dequantized ground truth (8-bit error << 1e-2 for this range)
+    wf = (w8.reshape(o, k // g, g).astype(np.float32) * scales[..., None]
+          + biases[..., None]).reshape(o, k)
+    expected = x @ wf.T
+
+    params = {
+        "w8": jnp.asarray(w8),
+        "scales": jnp.asarray(scales),
+        "biases": jnp.asarray(biases),
+    }
+    y_jnp = np.asarray(int8_matmul(jnp.asarray(x), params))
+    np.testing.assert_allclose(y_jnp, expected, rtol=1e-4, atol=1e-4)
+
+    kl = repack_int8_for_kernel(w8, g)
+    y_k = np.asarray(
+        quantized_matmul_int8_pallas(
+            jnp.asarray(x), jnp.asarray(kl), jnp.asarray(scales),
+            jnp.asarray(biases), group_size=g, tile_out=128, interpret=True,
+        )
+    )
+    np.testing.assert_allclose(y_k, expected, rtol=1e-4, atol=1e-4)
+
+
+def test_apply_int8_quantization_tree():
+    import jax
+
+    from qwen3_tts_tpu.models import talker as talker_mod
+    from qwen3_tts_tpu.ops.quant import apply_int8_quantization
+    from qwen3_tts_tpu.testing import tiny_talker_config
+
+    config = tiny_talker_config()
+    params = jax.tree.map(
+        np.asarray, talker_mod.init_talker_params(config, jax.random.PRNGKey(0))
+    )
+    q = apply_int8_quantization(params, kernel_layout=False)
+    assert "w8" in q["layers"]["qkv_proj"]
+    assert q["layers"]["qkv_proj"]["w8"].dtype == np.uint8
+    assert "w8" in q["codec_head"]
+    # forward still works and is close to dense
+    import jax.numpy as jnp
+
+    from qwen3_tts_tpu.ops.linear import linear
+
+    x = jnp.asarray(
+        np.random.default_rng(0).normal(size=(1, 4, config.hidden_size)), jnp.float32
+    )
+    yd = np.asarray(linear(jax.tree.map(jnp.asarray, params["codec_head"]), x))
+    yq = np.asarray(linear(jax.tree.map(jnp.asarray, q["codec_head"]), x))
+    assert np.max(np.abs(yd - yq)) < 0.1

@@ -162,6 +162,23 @@ def test_runtime_quantization_config(model_dir):
         Qwen3TTSPipelineConfiguration(apply_runtime_quantization=True),
         dtype=jnp.float32,
     )
-    assert "wq" in pl.params["layers"]["q_proj"]
+    assert "wq" in pl.params["layers"]["qkv_proj"]
+    samples = pl.generate(TEXT, "aiden", max_tokens=4, seed=1)
+    assert np.all(np.isfinite(samples))
+
+
+def test_runtime_quantization_int8(model_dir):
+    import jax.numpy as jnp
+
+    pl = Qwen3TTSPipeline(
+        model_dir,
+        Qwen3TTSPipelineConfiguration(
+            apply_runtime_quantization=True, runtime_quantization_mode="int8"
+        ),
+        dtype=jnp.float32,
+    )
+    assert "w8" in pl.params["layers"]["qkv_proj"]
+    # tiny cp hidden (48) is not divisible by group 64 -> left dense by design
+    assert "w" in pl.cp_params["layers"]["qkv_proj"]
     samples = pl.generate(TEXT, "aiden", max_tokens=4, seed=1)
     assert np.all(np.isfinite(samples))
