@@ -46,16 +46,48 @@ else:
     t0 = time.perf_counter()
     rng = np.random.default_rng(0)
 
-    def np_like(tree_fn):
-        shapes = jax.eval_shape(tree_fn)
-        return jax.tree.map(
-            lambda sd: rng.standard_normal(sd.shape).astype(np.float32) * 0.02,
-            shapes,
-        )
+    def dense(out, inn, bias=False):
+        p = {"w": rng.standard_normal((out, inn), dtype=np.float32) * np.float32(0.02)}
+        if bias:
+            p["b"] = np.zeros((out,), np.float32)
+        return p
 
-    params = np_like(lambda: talker_mod.init_talker_params(config, jax.random.PRNGKey(0)))
-    cp_params = np_like(lambda: cp_mod.init_cp_params(
-        config.code_predictor_config, config.hidden_size, jax.random.PRNGKey(1)))
+    def stack(fn, n):
+        e = [fn() for _ in range(n)]
+        return {k: np.stack([x[k] for x in e]) for k in e[0]}
+
+    def layer_tree(h, nq, nkv, hd, inter, nl):
+        return {
+            "input_layernorm": {"w": np.ones((nl, h), np.float32)},
+            "post_attention_layernorm": {"w": np.ones((nl, h), np.float32)},
+            "q_norm": {"w": np.ones((nl, hd), np.float32)},
+            "k_norm": {"w": np.ones((nl, hd), np.float32)},
+            "qkv_proj": stack(lambda: dense((nq + 2 * nkv) * hd, h), nl),
+            "o_proj": stack(lambda: dense(h, nq * hd), nl),
+            "gateup_proj": stack(lambda: dense(2 * inter, h), nl),
+            "down_proj": stack(lambda: dense(h, inter), nl),
+        }
+
+    c = config
+    params = {
+        "text_embedding": {"w": rng.standard_normal((c.text_vocab_size, c.text_hidden_size), dtype=np.float32) * np.float32(0.02)},
+        "codec_embedding": {"w": rng.standard_normal((c.vocab_size, c.hidden_size), dtype=np.float32) * np.float32(0.02)},
+        "text_projection": {"fc1": dense(c.text_hidden_size, c.text_hidden_size, True),
+                            "fc2": dense(c.hidden_size, c.text_hidden_size, True)},
+        "codec_head": dense(c.vocab_size, c.hidden_size),
+        "norm": {"w": np.ones((c.hidden_size,), np.float32)},
+        "layers": layer_tree(c.hidden_size, c.num_attention_heads, c.num_key_value_heads,
+                             c.head_dim, c.intermediate_size, c.num_hidden_layers),
+    }
+    cc = c.code_predictor_config
+    ng = cc.num_code_groups - 1
+    cp_params = {
+        "codec_embedding": {"w": rng.standard_normal((ng, cc.vocab_size, c.hidden_size), dtype=np.float32) * np.float32(0.02)},
+        "lm_head": {"w": rng.standard_normal((ng, cc.vocab_size, cc.hidden_size), dtype=np.float32) * np.float32(0.02)},
+        "norm": {"w": np.ones((cc.hidden_size,), np.float32)},
+        "layers": layer_tree(cc.hidden_size, cc.num_attention_heads, cc.num_key_value_heads,
+                             cc.head_dim, cc.intermediate_size, cc.num_hidden_layers),
+    }
     print(f"init: {time.perf_counter()-t0:.1f}s", flush=True)
 
     t0 = time.perf_counter()
@@ -64,6 +96,8 @@ else:
     print(f"int8 quantize ({mode}): {time.perf_counter()-t0:.1f}s", flush=True)
     save_trees(CACHE, params=params, cp=cp_params)
     print("cached", flush=True)
+    if os.environ.get("CACHE_ONLY") == "1":
+        sys.exit(0)
 
 cast = lambda x: np.asarray(x) if np.asarray(x).dtype.kind in "ui" else np.asarray(x, ml_dtypes.bfloat16)
 t0 = time.perf_counter()
