@@ -37,76 +37,76 @@ def load_trees(path, names):
     return [out[n] for n in names]
 
 config = Qwen3TTSConfig.standard()
-import os
-if os.path.exists(CACHE):
-    t0 = time.perf_counter()
-    params, cp_params = load_trees(CACHE, ["params", "cp"])
-    print(f"cache load: {time.perf_counter()-t0:.1f}s", flush=True)
-else:
-    t0 = time.perf_counter()
-    rng = np.random.default_rng(0)
 
-    def dense(out, inn, bias=False):
-        p = {"w": rng.standard_normal((out, inn), dtype=np.float32) * np.float32(0.02)}
-        if bias:
-            p["b"] = np.zeros((out,), np.float32)
-        return p
 
-    def stack(fn, n):
-        e = [fn() for _ in range(n)]
-        return {k: np.stack([x[k] for x in e]) for k in e[0]}
+def quantize_int8_tree_jnp(tree, group=64):
+    """Device-side int8 affine quantization of every fused linear entry,
+    with the Pallas kernel lane permutation applied on device."""
+    from qwen3_tts_tpu.ops.pallas.quant_matmul import kernel_lane_order
 
-    def layer_tree(h, nq, nkv, hd, inter, nl):
-        return {
-            "input_layernorm": {"w": np.ones((nl, h), np.float32)},
-            "post_attention_layernorm": {"w": np.ones((nl, h), np.float32)},
-            "q_norm": {"w": np.ones((nl, hd), np.float32)},
-            "k_norm": {"w": np.ones((nl, hd), np.float32)},
-            "qkv_proj": stack(lambda: dense((nq + 2 * nkv) * hd, h), nl),
-            "o_proj": stack(lambda: dense(h, nq * hd), nl),
-            "gateup_proj": stack(lambda: dense(2 * inter, h), nl),
-            "down_proj": stack(lambda: dense(h, inter), nl),
-        }
+    def q_entry(entry):
+        w = entry["w"].astype(jnp.float32)
+        o, k = w.shape[-2], w.shape[-1]
+        if k % group:
+            return entry
+        g = w.reshape(*w.shape[:-1], k // group, group)
+        wmin = g.min(-1)
+        wmax = g.max(-1)
+        scales = jnp.maximum((wmax - wmin) / 255.0, 1e-12)
+        biases = wmin
+        q = jnp.clip(jnp.round((g - biases[..., None]) / scales[..., None]), 0, 255)
+        w8 = q.reshape(*w.shape).astype(jnp.uint8)
+        perm = jnp.asarray(kernel_lane_order(k, group))
+        out = {"w8": w8, "scales": scales, "biases": biases,
+               "w8_kl": jnp.take(w8, perm, axis=-1)}
+        if "b" in entry:
+            out["b"] = entry["b"]
+        return out
 
-    c = config
-    params = {
-        "text_embedding": {"w": rng.standard_normal((c.text_vocab_size, c.text_hidden_size), dtype=np.float32) * np.float32(0.02)},
-        "codec_embedding": {"w": rng.standard_normal((c.vocab_size, c.hidden_size), dtype=np.float32) * np.float32(0.02)},
-        "text_projection": {"fc1": dense(c.text_hidden_size, c.text_hidden_size, True),
-                            "fc2": dense(c.hidden_size, c.text_hidden_size, True)},
-        "codec_head": dense(c.vocab_size, c.hidden_size),
-        "norm": {"w": np.ones((c.hidden_size,), np.float32)},
-        "layers": layer_tree(c.hidden_size, c.num_attention_heads, c.num_key_value_heads,
-                             c.head_dim, c.intermediate_size, c.num_hidden_layers),
-    }
-    cc = c.code_predictor_config
-    ng = cc.num_code_groups - 1
-    cp_params = {
-        "codec_embedding": {"w": rng.standard_normal((ng, cc.vocab_size, c.hidden_size), dtype=np.float32) * np.float32(0.02)},
-        "lm_head": {"w": rng.standard_normal((ng, cc.vocab_size, cc.hidden_size), dtype=np.float32) * np.float32(0.02)},
-        "norm": {"w": np.ones((cc.hidden_size,), np.float32)},
-        "layers": layer_tree(cc.hidden_size, cc.num_attention_heads, cc.num_key_value_heads,
-                             cc.head_dim, cc.intermediate_size, cc.num_hidden_layers),
-    }
-    print(f"init: {time.perf_counter()-t0:.1f}s", flush=True)
+    def walk(node):
+        if isinstance(node, dict) and "w" in node and node["w"].ndim >= 2 and node["w"].shape[-1] >= group:
+            # only quantize linear-like entries (skip norms/embeddings by name upstream)
+            return q_entry(node)
+        if isinstance(node, dict):
+            return {k: walk(v) for k, v in node.items()}
+        return node
 
-    t0 = time.perf_counter()
-    params = apply_int8_quantization(params, kernel_layout=(mode == "kernel"))
-    cp_params = apply_int8_quantization(cp_params, kernel_layout=(mode == "kernel"))
-    print(f"int8 quantize ({mode}): {time.perf_counter()-t0:.1f}s", flush=True)
-    save_trees(CACHE, params=params, cp=cp_params)
-    print("cached", flush=True)
-    if os.environ.get("CACHE_ONLY") == "1":
-        sys.exit(0)
+    out = dict(tree)
+    for grp, names in (("text_projection", ("fc1", "fc2")),
+                       ("layers", ("qkv_proj", "o_proj", "gateup_proj", "down_proj"))):
+        if grp in out:
+            sub = dict(out[grp])
+            for n in names:
+                if n in sub and "w" in sub[n]:
+                    sub[n] = q_entry(sub[n])
+            out[grp] = sub
+    for n in ("codec_head", "small_to_mtp_projection"):
+        if n in out and "w" in out[n]:
+            out[n] = q_entry(out[n])
+    return out
 
-cast = lambda x: np.asarray(x) if np.asarray(x).dtype.kind in "ui" else np.asarray(x, ml_dtypes.bfloat16)
+
 t0 = time.perf_counter()
-params = jax.device_put(jax.tree.map(cast, params))
-cp_params = jax.device_put(jax.tree.map(cast, cp_params))
-jax.block_until_ready((params, cp_params))
-print(f"transfer: {time.perf_counter()-t0:.1f}s", flush=True)
-
 dtype = jnp.bfloat16
+
+
+@jax.jit
+def device_init(key):
+    k1, k2 = jax.random.split(key)
+    params = talker_mod.init_talker_params(config, k1, dtype)
+    cp_params = cp_mod.init_cp_params(
+        config.code_predictor_config, config.hidden_size, k2, dtype
+    )
+    if mode != "bf16":
+        params = quantize_int8_tree_jnp(params)
+        cp_params = quantize_int8_tree_jnp(cp_params)
+    return params, cp_params
+
+
+params, cp_params = device_init(jax.random.PRNGKey(0))
+jax.block_until_ready((params, cp_params))
+print(f"device init+quant ({mode}): {time.perf_counter()-t0:.1f}s", flush=True)
+
 pd = prompt_mod.assemble_prompt(params, config, FakeByteTokenizer(),
     "A benchmark sentence for int8 kernel decode speed on the TPU chip.", speaker="aiden")
 p = int(pd.input_embeds.shape[1]); t = int(pd.trailing_hidden.shape[1])
