@@ -33,10 +33,21 @@ FRAME_SECONDS = 1920.0 / 24000.0  # 80 ms per codec frame
 def main() -> None:
     config = Qwen3TTSConfig.standard()
     dtype = jnp.bfloat16
-    params = talker_mod.init_talker_params(config, jax.random.PRNGKey(0), dtype)
-    cp_params = cp_mod.init_cp_params(
-        config.code_predictor_config, config.hidden_size, jax.random.PRNGKey(1), dtype
-    )
+
+    # One jitted device-side init: eager per-weight RNG would dispatch
+    # hundreds of ops over the (tunneled) device link, and host-side numpy
+    # generation is minutes on throttled hosts.
+    @jax.jit
+    def device_init(key):
+        k1, k2 = jax.random.split(key)
+        return (
+            talker_mod.init_talker_params(config, k1, dtype),
+            cp_mod.init_cp_params(
+                config.code_predictor_config, config.hidden_size, k2, dtype
+            ),
+        )
+
+    params, cp_params = device_init(jax.random.PRNGKey(0))
 
     text = (
         "The quick brown fox jumps over the lazy dog while the TPU hums along, "

@@ -618,3 +618,121 @@ def export_audio_encoder_checkpoint(params, cfg) -> dict:
             )
             out[f"encoder.{base}.layers.{i}._codebook.embedding_sum"] = cb
     return out
+
+
+# ---------------------------------------------------------------------------
+# Host-side (numpy) random params — fast init for benches and driver entries
+# (eager jax.random on a tunneled TPU dispatches hundreds of slow device ops)
+# ---------------------------------------------------------------------------
+
+
+class _RandPool:
+    """Cheap pseudo-random weights: one real RNG block, tiled with offsets.
+
+    Real per-value RNG on this class of host is ~10M samples/s — minutes for a
+    0.6B model. Benchmarks/drivers only need plausible weight statistics, so
+    draw one 1M-sample pool and serve every request as offset views of it.
+    """
+
+    def __init__(self, seed):
+        import numpy as np
+
+        self._rng = np.random.default_rng(seed)
+        self._pool = self._rng.standard_normal(1 << 20, dtype=np.float32)
+        self._off = 0
+
+    def standard_normal(self, shape, dtype=None):
+        import numpy as np
+
+        n = int(np.prod(shape))
+        reps = n // len(self._pool) + 2
+        self._off = (self._off + 977) % len(self._pool)
+        flat = np.tile(self._pool, reps)[self._off : self._off + n]
+        return flat.reshape(shape)
+
+
+def _np_dense(rng, out, inn, bias=False):
+    import numpy as np
+
+    p = {"w": rng.standard_normal((out, inn), dtype=np.float32) * np.float32(0.02)}
+    if bias:
+        p["b"] = np.zeros((out,), np.float32)
+    return p
+
+
+def _np_layer_tree(rng, h, nq, nkv, hd, inter, nl):
+    import numpy as np
+
+    def stack(fn):
+        e = [fn() for _ in range(nl)]
+        return {k: np.stack([x[k] for x in e]) for k in e[0]}
+
+    return {
+        "input_layernorm": {"w": np.ones((nl, h), np.float32)},
+        "post_attention_layernorm": {"w": np.ones((nl, h), np.float32)},
+        "q_norm": {"w": np.ones((nl, hd), np.float32)},
+        "k_norm": {"w": np.ones((nl, hd), np.float32)},
+        "qkv_proj": stack(lambda: _np_dense(rng, (nq + 2 * nkv) * hd, h)),
+        "o_proj": stack(lambda: _np_dense(rng, h, nq * hd)),
+        "gateup_proj": stack(lambda: _np_dense(rng, 2 * inter, h)),
+        "down_proj": stack(lambda: _np_dense(rng, h, inter)),
+    }
+
+
+def random_host_talker_params(config, seed: int = 0) -> dict:
+    """Numpy random talker params with the real (fused) structure (pooled
+    pseudo-random values — see _RandPool)."""
+    import numpy as np
+
+    rng = _RandPool(seed)
+    c = config
+    return {
+        "text_embedding": {
+            "w": rng.standard_normal((c.text_vocab_size, c.text_hidden_size),
+                                     dtype=np.float32) * np.float32(0.02)
+        },
+        "codec_embedding": {
+            "w": rng.standard_normal((c.vocab_size, c.hidden_size),
+                                     dtype=np.float32) * np.float32(0.02)
+        },
+        "text_projection": {
+            "fc1": _np_dense(rng, c.text_hidden_size, c.text_hidden_size, True),
+            "fc2": _np_dense(rng, c.hidden_size, c.text_hidden_size, True),
+        },
+        "codec_head": _np_dense(rng, c.vocab_size, c.hidden_size),
+        "norm": {"w": __import__("numpy").ones((c.hidden_size,), "float32")},
+        "layers": _np_layer_tree(
+            rng, c.hidden_size, c.num_attention_heads, c.num_key_value_heads,
+            c.head_dim, c.intermediate_size, c.num_hidden_layers,
+        ),
+    }
+
+
+def random_host_cp_params(config, seed: int = 1) -> dict:
+    """Numpy random code-predictor params with the real (fused) structure
+    (pooled pseudo-random values — see _RandPool)."""
+    import numpy as np
+
+    rng = _RandPool(seed)
+    cc = config.code_predictor_config
+    ng = cc.num_code_groups - 1
+    params = {
+        "codec_embedding": {
+            "w": rng.standard_normal((ng, cc.vocab_size, config.hidden_size),
+                                     dtype=np.float32) * np.float32(0.02)
+        },
+        "lm_head": {
+            "w": rng.standard_normal((ng, cc.vocab_size, cc.hidden_size),
+                                     dtype=np.float32) * np.float32(0.02)
+        },
+        "norm": {"w": np.ones((cc.hidden_size,), np.float32)},
+        "layers": _np_layer_tree(
+            rng, cc.hidden_size, cc.num_attention_heads, cc.num_key_value_heads,
+            cc.head_dim, cc.intermediate_size, cc.num_hidden_layers,
+        ),
+    }
+    if cc.hidden_size != config.hidden_size:
+        params["small_to_mtp_projection"] = _np_dense(
+            rng, cc.hidden_size, config.hidden_size, bias=True
+        )
+    return params
