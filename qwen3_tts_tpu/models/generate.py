@@ -351,3 +351,39 @@ def filter_valid_frames(frames: np.ndarray) -> np.ndarray:
         return frames
     mask = (frames[:, 0] >= 0) & (frames[:, 0] < 2048)
     return frames[mask]
+
+
+# ---------------------------------------------------------------------------
+# Batched serving
+# ---------------------------------------------------------------------------
+
+
+def stack_states(states: list[dict]) -> dict:
+    """Stack B per-stream decode states on a new leading axis."""
+    return jax.tree.map(lambda *xs: jnp.stack(xs), *states)
+
+
+@functools.partial(jax.jit, static_argnames=("statics",), donate_argnames=("states",))
+def decode_chunk_batched(
+    params: dict,
+    cp_params: dict,
+    states: dict,
+    temperature: jax.Array,
+    statics: GenStatics,
+) -> tuple[jax.Array, jax.Array, jax.Array, dict]:
+    """vmap of decode_chunk over B stacked stream states (see stack_states).
+
+    Per-op latency on TPU is nearly flat in the row dimension at these sizes,
+    so B concurrent streams decode in roughly the wall time of one — the
+    per-chip serving throughput lever (ROADMAP.md). Returns
+    (frames [B, chunk, 16], counts [B], eos [B], states).
+
+    The vmapped while_loop runs until every stream's chunk finishes; streams
+    that hit EOS early idle inside the loop (their outputs are already
+    correct — `cond` keeps them parked via state["eos"]).
+    """
+    def one(state, temp):
+        # reuse the single-stream body exactly (jit-inlined, not re-jitted)
+        return decode_chunk.__wrapped__(params, cp_params, state, temp, statics)
+
+    return jax.vmap(one, in_axes=(0, None))(states, temperature)

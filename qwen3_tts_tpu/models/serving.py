@@ -1,0 +1,468 @@
+"""Batched lockstep serving: decode B utterances concurrently on one chip.
+
+The reference is strictly batch-1 (SURVEY.md §2c); this is the TPU-native
+serving subsystem. Per-op latency on TPU is nearly flat in the row dimension
+at these model sizes, so B concurrent streams decode in roughly the wall time
+of one (measured: B=8 costs ~1.05x the step time of B=1 → ~8x frames/sec per
+chip).
+
+Design (why NOT jax.vmap of the single-stream loop): per-stream ring-cache
+slots under vmap become ragged scatters (measured 16x slower). Here streams
+advance in LOCKSTEP — every stream's prompt is padded to the same bucket, so
+the ring SLOT index is shared (one dynamic_update_slice for the whole batch)
+while RoPE positions, window starts, trailing-text schedules, EOS flags, and
+sampling state are per-stream vectors. Streams that finish (EOS) keep
+computing but their outputs and state are frozen via masking, preserving
+per-stream reference semantics (greedy streams match the single-stream path
+bitwise).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..config import Qwen3TTSConfig
+from ..ops.attention import causal_mask
+from ..ops.linear import linear
+from ..ops.norms import rms_norm
+from ..ops.sampling import NEG_INF, sample_token, talker_valid_mask
+from ..ops import rope as rope_ops
+from . import code_predictor as cp_mod
+from . import generate as gen_mod
+from . import talker as talker_mod
+
+
+# ---------------------------------------------------------------------------
+# Batched model steps (shared slot, per-stream positions)
+# ---------------------------------------------------------------------------
+
+
+def _attention_decode_batched(q, k_cache, v_cache, cache_pos, window_start, scale):
+    """GQA decode with per-stream validity. q [B,Hq,1,D]; caches [B,Hkv,C,D];
+    cache_pos [B,C]; window_start [B]."""
+    b, hq, _, d = q.shape
+    hkv = k_cache.shape[1]
+    g = hq // hkv
+    qg = q.reshape(b, hkv, g, d)
+    scores = jnp.einsum(
+        "bkgd,bkcd->bkgc", qg, k_cache, preferred_element_type=jnp.float32
+    ) * scale
+    valid = (cache_pos >= 0) & (cache_pos >= window_start[:, None])
+    scores = jnp.where(valid[:, None, None, :], scores, NEG_INF)
+    probs = jax.nn.softmax(scores, axis=-1).astype(v_cache.dtype)
+    out = jnp.einsum("bkgc,bkcd->bkgd", probs, v_cache)
+    return out.reshape(b, hq, 1, d)
+
+
+def talker_decode_step_batched(
+    params: dict,
+    embed: jax.Array,
+    cache: dict,
+    positions: jax.Array,
+    slot: jax.Array,
+    window_start: jax.Array,
+    config: Qwen3TTSConfig,
+) -> tuple[jax.Array, dict]:
+    """One lockstep decode step for B streams.
+
+    embed [B,1,H]; positions [B] absolute per stream; slot: SHARED ring slot
+    scalar; window_start [B]. cache: {"k","v" [L,B,Hkv,C,D], "pos" [B,C]}.
+    """
+    b = embed.shape[0]
+    scale = 1.0 / float(config.head_dim) ** 0.5
+    cos, sin = talker_mod._rope_cos_sin(config, positions[:, None])
+
+    new_pos = jax.lax.dynamic_update_slice(
+        cache["pos"], positions[:, None].astype(jnp.int32), (0, slot)
+    )
+
+    k_cache, v_cache = cache["k"], cache["v"]
+    h = embed
+    zero = jnp.int32(0)
+    for i in range(config.num_hidden_layers):
+        lp = jax.tree.map(lambda a: a[i], params["layers"])
+        x = rms_norm(h, lp["input_layernorm"]["w"], config.rms_norm_eps)
+        q, k, v = talker_mod._layer_qkv(lp, x, cos, sin, config)
+        k_cache = jax.lax.dynamic_update_slice(
+            k_cache, k[None], (jnp.int32(i), zero, zero, slot, zero)
+        )
+        v_cache = jax.lax.dynamic_update_slice(
+            v_cache, v[None], (jnp.int32(i), zero, zero, slot, zero)
+        )
+        attn = _attention_decode_batched(
+            q, k_cache[i], v_cache[i], new_pos, window_start, scale
+        )
+        attn = attn.transpose(0, 2, 1, 3).reshape(b, 1, -1)
+        h = h + linear(lp["o_proj"], attn)
+        x2 = rms_norm(h, lp["post_attention_layernorm"]["w"], config.rms_norm_eps)
+        h = h + linear(
+            lp["down_proj"], talker_mod._swiglu(lp, x2, config.intermediate_size)
+        )
+    h = rms_norm(h, params["norm"]["w"], config.rms_norm_eps)
+    return h, {"k": k_cache, "v": v_cache, "pos": new_pos}
+
+
+def predict_frame_batched(
+    cp_params: dict,
+    code_hidden: jax.Array,
+    code0_embed: jax.Array,
+    keys: jax.Array,
+    temperature: jax.Array,
+    config,
+) -> tuple[jax.Array, jax.Array]:
+    """Batched MTP head: codes 1..15 for B streams (cp positions are shared
+    across streams, so _cp_forward's native batch dim applies directly).
+
+    code_hidden/code0_embed [B,1,H]; keys [B,2] per-stream PRNG keys.
+    Returns (codes [B,15] int32, embed_sum [B,1,H]). Repetition-penalty
+    tracking is per-utterance state the streaming path skips (reference
+    generateStream behavior); serving does the same.
+    """
+    ng = config.num_code_groups - 1
+    nl = config.num_hidden_layers
+    b = code_hidden.shape[0]
+    dtype = code_hidden.dtype
+    cache_shape = (nl, b, config.num_key_value_heads, cp_mod.CP_CACHE_LEN, config.head_dim)
+    ck = jnp.zeros(cache_shape, dtype)
+    cv = jnp.zeros(cache_shape, dtype)
+
+    emb_tables = cp_params["codec_embedding"]["w"]
+    head_tables = cp_params["lm_head"]["w"]
+
+    x0 = jnp.concatenate([code_hidden, code0_embed], axis=1)
+    h_last, ck, cv = cp_mod._cp_forward(cp_params, x0, ck, cv, jnp.int32(0), config)
+
+    sample_b = jax.vmap(
+        lambda lg, k: sample_token(lg, k, temperature), in_axes=(0, 0)
+    )
+
+    def sample_group(k_idx, h_last_g, group_keys):
+        logits = jnp.einsum(
+            "bh,vh->bv", h_last_g[:, 0, :].astype(jnp.float32),
+            head_tables[k_idx].astype(jnp.float32),
+        )
+        return sample_b(logits, group_keys)
+
+    all_keys = jax.vmap(lambda k: jax.random.split(k, ng))(keys)  # [B, ng, 2]
+
+    code1 = sample_group(jnp.int32(0), h_last, all_keys[:, 0])
+    codes0 = jnp.zeros((b, ng), jnp.int32).at[:, 0].set(code1)
+    embed_sum0 = code0_embed + emb_tables[0][code1][:, None, :].astype(dtype)
+
+    def body(k_idx, carry):
+        codes, embed_sum, ck, cv = carry
+        prev = codes[:, k_idx - 1]
+        x = emb_tables[k_idx - 1][prev][:, None, :].astype(dtype)
+        h_k, ck, cv = cp_mod._cp_forward(
+            cp_params, x, ck, cv, (k_idx + 1).astype(jnp.int32), config
+        )
+        code_k = sample_group(k_idx, h_k, all_keys[:, k_idx])
+        codes = codes.at[:, k_idx].set(code_k)
+        embed_sum = embed_sum + emb_tables[k_idx][code_k][:, None, :].astype(dtype)
+        return codes, embed_sum, ck, cv
+
+    codes, embed_sum, ck, cv = jax.lax.fori_loop(
+        1, ng, body, (codes0, embed_sum0, ck, cv)
+    )
+    return codes, embed_sum
+
+
+# ---------------------------------------------------------------------------
+# Batched prefill + decode chunk
+# ---------------------------------------------------------------------------
+
+
+@functools.partial(jax.jit, static_argnames=("statics",))
+def prefill_batched(
+    params: dict,
+    embeds_padded: jax.Array,
+    lengths: jax.Array,
+    trailing_padded: jax.Array,
+    total_texts: jax.Array,
+    tts_pad_embed: jax.Array,
+    rngs: jax.Array,
+    statics: gen_mod.GenStatics,
+) -> dict:
+    """Prefill B prompts (all padded to the same bucket) in one pass.
+
+    embeds_padded [B,P,H]; lengths [B]; trailing_padded [B,T,H];
+    total_texts [B]; rngs [B,2]. Slots [0,P) are shared; per-stream padding
+    slots carry pos=-1 (masked).
+    """
+    cfg = statics.config
+    b, p_pad, hdim = embeds_padded.shape
+    scale = 1.0 / float(cfg.head_dim) ** 0.5
+    positions = jnp.broadcast_to(jnp.arange(p_pad)[None, :], (b, p_pad))
+    cos, sin = talker_mod._rope_cos_sin(cfg, positions)
+    # per-stream causal+validity mask [B,1,1,P,P]
+    i = jnp.arange(p_pad)[:, None]
+    j = jnp.arange(p_pad)[None, :]
+    m = jnp.where(j <= i, 0.0, NEG_INF)[None]
+    m = jnp.where(j[None] < lengths[:, None, None], m, NEG_INF)  # [B,P,P]
+    mask = m[:, None, None, :, :]  # [B,1,1,P,P] broadcasts over (Hkv, G)
+
+    def body(h, lp):
+        x = rms_norm(h, lp["input_layernorm"]["w"], cfg.rms_norm_eps)
+        q, k, v = talker_mod._layer_qkv(lp, x, cos, sin, cfg)
+        from ..ops.attention import gqa_attention_full
+
+        attn = gqa_attention_full(q, k, v, scale, mask)
+        attn = attn.transpose(0, 2, 1, 3).reshape(b, p_pad, -1)
+        h = h + linear(lp["o_proj"], attn)
+        x2 = rms_norm(h, lp["post_attention_layernorm"]["w"], cfg.rms_norm_eps)
+        h = h + linear(lp["down_proj"], talker_mod._swiglu(lp, x2, cfg.intermediate_size))
+        return h, (k, v)
+
+    h, (k_all, v_all) = jax.lax.scan(body, embeds_padded, params["layers"])
+    h = rms_norm(h, params["norm"]["w"], cfg.rms_norm_eps)
+
+    capacity = statics.capacity
+    cache = {
+        "k": jnp.zeros(
+            (cfg.num_hidden_layers, b, cfg.num_key_value_heads, capacity, cfg.head_dim),
+            embeds_padded.dtype,
+        ),
+        "v": jnp.zeros(
+            (cfg.num_hidden_layers, b, cfg.num_key_value_heads, capacity, cfg.head_dim),
+            embeds_padded.dtype,
+        ),
+        "pos": jnp.full((b, capacity), -1, jnp.int32),
+    }
+    cache["k"] = jax.lax.dynamic_update_slice(cache["k"], k_all, (0, 0, 0, 0, 0))
+    cache["v"] = jax.lax.dynamic_update_slice(cache["v"], v_all, (0, 0, 0, 0, 0))
+    slot_pos = jnp.where(
+        jnp.arange(p_pad)[None, :] < lengths[:, None],
+        jnp.arange(p_pad)[None, :],
+        -1,
+    ).astype(jnp.int32)
+    cache["pos"] = jax.lax.dynamic_update_slice(cache["pos"], slot_pos, (0, 0))
+
+    h_last = jnp.take_along_axis(h, (lengths - 1)[:, None, None], axis=1)  # [B,1,H]
+    logits = talker_mod.codec_head(params, h_last)[:, 0]  # [B,V]
+
+    return {
+        "cache": cache,
+        "h_last": h_last,
+        "logits": logits,
+        "lengths": lengths.astype(jnp.int32),
+        "step": jnp.int32(0),
+        "window_start": jnp.zeros((b,), jnp.int32),
+        "trailing_idx": jnp.zeros((b,), jnp.int32),
+        "consecutive_pad": jnp.zeros((b,), jnp.int32),
+        "eos": jnp.zeros((b,), jnp.bool_),
+        "seen_code0": jnp.zeros((b, cfg.vocab_size), jnp.bool_),
+        "trailing": trailing_padded,
+        "total_texts": total_texts.astype(jnp.int32),
+        "tts_pad_embed": tts_pad_embed,
+        "rngs": rngs,
+        "p_pad": jnp.int32(p_pad),
+    }
+
+
+@functools.partial(jax.jit, static_argnames=("statics",), donate_argnames=("state",))
+def decode_chunk_serving(
+    params: dict,
+    cp_params: dict,
+    state: dict,
+    temperature: jax.Array,
+    statics: gen_mod.GenStatics,
+) -> tuple[jax.Array, jax.Array, jax.Array, dict]:
+    """Lockstep batched decode of up to chunk_steps frames for B streams.
+
+    Returns (frames [B, chunk, 16] int32 (pad-frames = -1 for finished
+    streams), counts [B], eos [B], state).
+    """
+    cfg = statics.config
+    cp_cfg = cfg.code_predictor_config
+    ng = cp_cfg.num_code_groups
+    chunk = statics.chunk_steps
+    b = state["logits"].shape[0]
+
+    eos_id = jnp.int32(cfg.codec_eos_token_id)
+    pad_id = jnp.int32(cfg.codec_pad_id)
+    eos_pad_mask = (
+        jnp.zeros((cfg.vocab_size,), jnp.float32)
+        .at[cfg.codec_eos_token_id].set(NEG_INF)
+        .at[cfg.codec_pad_id].set(NEG_INF)
+    )
+    valid_mask = talker_valid_mask(cfg.vocab_size)
+
+    sample_b = jax.vmap(
+        lambda lg, k, seen: sample_token(
+            lg, k, temperature,
+            seen_mask=seen, repetition_penalty=statics.repetition_penalty,
+            valid_mask=valid_mask,
+        ),
+        in_axes=(0, 0, 0),
+    )
+
+    def cond(carry):
+        state, out, counts, i = carry
+        return (i < chunk) & jnp.logical_not(jnp.all(state["eos"]))
+
+    def body(carry):
+        state, out, counts, i = carry
+        active = jnp.logical_not(state["eos"])  # [B]
+
+        split = jax.vmap(lambda k: jax.random.split(k, 3))(state["rngs"])
+        rngs, k0s, kcps = split[:, 0], split[:, 1], split[:, 2]
+        state = {**state, "rngs": rngs}
+
+        has_text = state["trailing_idx"] < state["total_texts"]
+        lg = state["logits"] + jnp.where(has_text[:, None], eos_pad_mask[None], 0.0)
+        code0 = sample_b(lg, k0s, state["seen_code0"])  # [B]
+
+        is_eos = code0 == eos_id
+        is_pad = code0 == pad_id
+        new_consec = jnp.where(is_pad, state["consecutive_pad"] + 1, 0)
+        stop_now = active & (is_eos | (is_pad & (new_consec > gen_mod.MAX_CONSECUTIVE_PAD)))
+        emit = active & jnp.logical_not(stop_now)
+
+        code0_embed = talker_mod.encode_audio(params, code0[:, None])  # [B,1,H]
+        codes15, embed_sum = predict_frame_batched(
+            cp_params, state["h_last"], code0_embed, kcps, temperature, cp_cfg
+        )
+        frame = jnp.concatenate([code0[:, None], codes15], axis=1)  # [B,16]
+        frame = jnp.where(emit[:, None], frame, -1)
+        out = jax.lax.dynamic_update_slice(out, frame[:, None, :], (0, i, 0))
+
+        seen_code0 = state["seen_code0"].at[jnp.arange(b), code0].set(
+            state["seen_code0"][jnp.arange(b), code0] | emit
+        )
+
+        t_idx = jnp.minimum(state["trailing_idx"], state["trailing"].shape[1] - 1)
+        trailing_embed = jnp.take_along_axis(
+            state["trailing"], t_idx[:, None, None], axis=1
+        )  # [B,1,H]
+        text_embed = jnp.where(
+            has_text[:, None, None], trailing_embed, state["tts_pad_embed"]
+        )
+        new_trailing_idx = jnp.where(
+            emit & has_text, state["trailing_idx"] + 1, state["trailing_idx"]
+        )
+
+        input_embed = (text_embed + embed_sum).astype(state["h_last"].dtype)
+        positions = state["lengths"] + state["step"]  # [B] per-stream absolute
+        slot = state["p_pad"] + state["step"]  # shared ring slot
+        h, cache = talker_decode_step_batched(
+            params, input_embed, state["cache"], positions, slot,
+            state["window_start"], cfg,
+        )
+        logits = talker_mod.codec_head(params, h)[:, 0]
+
+        # freeze finished streams
+        keep = emit[:, None]
+        logits = jnp.where(keep, logits, state["logits"])
+        h = jnp.where(emit[:, None, None], h, state["h_last"])
+
+        step = state["step"] + 1
+        total_len = state["lengths"] + step
+        window_start = jnp.where(
+            (step % gen_mod.TRIM_INTERVAL == 0) & emit,
+            jnp.maximum(state["window_start"], total_len - gen_mod.KV_WINDOW),
+            state["window_start"],
+        )
+
+        new_state = {
+            **state,
+            "cache": cache,
+            "h_last": h,
+            "logits": logits,
+            "step": step,
+            "window_start": window_start,
+            "trailing_idx": new_trailing_idx,
+            "consecutive_pad": jnp.where(emit, new_consec, state["consecutive_pad"]),
+            "eos": state["eos"] | stop_now,
+            "seen_code0": seen_code0,
+        }
+        return (new_state, out, counts + emit.astype(jnp.int32), i + 1)
+
+    out0 = jnp.full((b, chunk, ng), -1, jnp.int32)
+    state, out, counts, _ = jax.lax.while_loop(
+        cond, body, (state, out0, jnp.zeros((b,), jnp.int32), jnp.int32(0))
+    )
+    return out, counts, state["eos"], state
+
+
+# ---------------------------------------------------------------------------
+# Host orchestration
+# ---------------------------------------------------------------------------
+
+
+def generate_codes_batched(
+    params: dict,
+    cp_params: dict,
+    config: Qwen3TTSConfig,
+    prompt_datas: list,
+    *,
+    temperature: float = 0.9,
+    max_tokens: int = 1200,
+    chunk_steps: int = 48,
+    seed: int = 0,
+) -> list[np.ndarray]:
+    """Serve B prompts concurrently; returns per-stream raw frames [T_i, 16].
+
+    All prompts share one padded bucket (max over the batch).
+    """
+    b = len(prompt_datas)
+    dtype = prompt_datas[0].input_embeds.dtype
+    hdim = prompt_datas[0].input_embeds.shape[2]
+    p_max = max(int(pd.input_embeds.shape[1]) for pd in prompt_datas)
+    t_max = max(int(pd.trailing_hidden.shape[1]) for pd in prompt_datas)
+    p_bucket = gen_mod.pick_bucket(p_max)
+    t_bucket = gen_mod.pick_bucket(t_max, gen_mod.TRAILING_BUCKETS)
+
+    embeds = np.zeros((b, p_bucket, hdim), np.float32)
+    trailing = np.zeros((b, t_bucket, hdim), np.float32)
+    lengths = np.zeros((b,), np.int32)
+    totals = np.zeros((b,), np.int32)
+    for idx, pd in enumerate(prompt_datas):
+        p = int(pd.input_embeds.shape[1])
+        t = int(pd.trailing_hidden.shape[1])
+        embeds[idx, :p] = np.asarray(pd.input_embeds[0], np.float32)
+        trailing[idx, :t] = np.asarray(pd.trailing_hidden[0], np.float32)
+        lengths[idx] = p
+        totals[idx] = t
+
+    statics = gen_mod.GenStatics(
+        config=config, capacity=p_bucket + gen_mod.RING_SLACK,
+        chunk_steps=chunk_steps, track_cp_penalty=False,
+    )
+    rngs = jax.vmap(jax.random.PRNGKey)(jnp.arange(seed, seed + b))
+    state = prefill_batched(
+        params,
+        jnp.asarray(embeds, dtype),
+        jnp.asarray(lengths),
+        jnp.asarray(trailing, dtype),
+        jnp.asarray(totals),
+        prompt_datas[0].tts_pad_embed,
+        rngs,
+        statics,
+    )
+
+    temp = jnp.float32(temperature)
+    results: list[list[np.ndarray]] = [[] for _ in range(b)]
+    emitted = 0
+    while emitted < max_tokens:
+        frames, counts, eos, state = decode_chunk_serving(
+            params, cp_params, state, temp, statics
+        )
+        frames_np = np.asarray(frames)
+        for idx in range(b):
+            valid = frames_np[idx][frames_np[idx][:, 0] >= 0]
+            if len(valid):
+                results[idx].append(valid)
+        emitted += chunk_steps
+        if bool(np.all(np.asarray(eos))):
+            break
+
+    return [
+        np.concatenate(r, axis=0)[:max_tokens]
+        if r
+        else np.zeros((0, config.code_predictor_config.num_code_groups), np.int32)
+        for r in results
+    ]
