@@ -76,3 +76,61 @@ def test_serving_seeded_reproducible():
     )
     for x, y in zip(a, b):
         np.testing.assert_array_equal(x, y)
+
+
+def test_pipeline_generate_many(tmp_path):
+    import jax.numpy as jnp
+
+    from qwen3_tts_tpu.pipeline import Qwen3TTSPipeline
+    from qwen3_tts_tpu.testing import write_tiny_model_dir
+
+    write_tiny_model_dir(tmp_path)
+    pl = Qwen3TTSPipeline(tmp_path, dtype=jnp.float32)
+    texts = [
+        "Batched pipeline first utterance.",
+        "Second utterance with different words entirely.",
+    ]
+    outs = pl.generate_many(texts, "aiden", temperature=0.0, max_tokens=8, seed=1)
+    assert len(outs) == 2
+    for o in outs:
+        assert len(o) > 0 and np.all(np.isfinite(o))
+    # greedy parity with single-stream generate (which uses cp penalty=True by
+    # default -> compare against the no-penalty single path via serving's own
+    # parity test; here check shape consistency and determinism)
+    outs2 = pl.generate_many(texts, "aiden", temperature=0.0, max_tokens=8, seed=1)
+    for a, b in zip(outs, outs2):
+        np.testing.assert_array_equal(a, b)
+
+
+def test_stream_first_decode_chunk(tmp_path):
+    import jax.numpy as jnp
+
+    from qwen3_tts_tpu.pipeline import Qwen3TTSPipeline
+    from qwen3_tts_tpu.testing import write_tiny_model_dir
+
+    write_tiny_model_dir(tmp_path)
+    pl = Qwen3TTSPipeline(tmp_path, dtype=jnp.float32)
+    spf = pl._samples_per_frame
+    chunks = list(
+        pl.generate_stream(
+            "Low latency streaming test sentence here.", "aiden",
+            max_tokens=40, chunk_size=10, first_decode_chunk=9, seed=5,
+        )
+    )
+    body = [c for c in chunks if len(c.samples)]
+    assert len(body[0].samples) == 9 * spf  # early first chunk
+    from qwen3_tts_tpu.pipeline import DECODE_CHUNK_SIZE
+
+    if len(body) > 2:
+        assert len(body[1].samples) == DECODE_CHUNK_SIZE * spf
+    # audio equals the default-path audio for the same codes
+    full = list(
+        pl.generate_stream(
+            "Low latency streaming test sentence here.", "aiden",
+            max_tokens=40, chunk_size=10, seed=5,
+        )
+    )
+    a = np.concatenate([c.samples for c in body])
+    b = np.concatenate([c.samples for c in full if len(c.samples)])
+    # same codes; vocoder context boundaries differ -> compare lengths only
+    assert len(a) == len(b)
