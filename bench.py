@@ -2,7 +2,7 @@
 
 Prints ONE JSON line {"metric", "value", "unit", "vs_baseline"}.
 
-Measures the production serving configuration: B=8 utterances decoded in
+Measures the production serving configuration: BATCH utterances decoded in
 lockstep on one chip (models/serving.py) — the full hot path per step
 (batched talker step + on-device sampling + 15-group code-predictor sub-loop)
 on the `.standard` (0.6B-class) config in bfloat16 with random weights (the
@@ -13,7 +13,7 @@ per-chip target — lower is better, < 1.0 beats the target).
 
 Measured context (ROADMAP.md): single-stream decode is ~4.2 ms/frame
 (RTF ~0.053, per-op-latency/bandwidth bound); lockstep batching costs only
-~20% more per step for 8 streams.
+~20% more per step for 8 streams and ~45% more for 16.
 """
 
 from __future__ import annotations
@@ -34,7 +34,7 @@ from qwen3_tts_tpu.testing import FakeByteTokenizer
 
 BASELINE_RTF = 0.05  # BASELINE.md target: RTF < 0.05 per chip
 FRAME_SECONDS = 1920.0 / 24000.0  # 80 ms per codec frame
-BATCH = 8
+BATCH = 16
 CHUNK_STEPS = 48
 
 

@@ -10,6 +10,7 @@ writes a 24 kHz 16-bit PCM WAV.
 
 from __future__ import annotations
 
+import os
 import sys
 import time
 
@@ -37,8 +38,9 @@ def main(argv: list[str] | None = None) -> int:
     print(f"Model loaded in {load_time:.2f}s")
     print(f"Available speakers: {', '.join(pipeline.available_speakers)}")
 
+    max_tokens = int(os.environ.get("QWEN3TTS_MAX_TOKENS", "0")) or None
     t1 = time.perf_counter()
-    samples = pipeline.generate(text, speaker)
+    samples = pipeline.generate(text, speaker, max_tokens=max_tokens)
     gen_time = time.perf_counter() - t1
 
     duration = len(samples) / pipeline.sample_rate

@@ -182,3 +182,15 @@ def test_runtime_quantization_int8(model_dir):
     assert "w" in pl.cp_params["layers"]["qkv_proj"]
     samples = pl.generate(TEXT, "aiden", max_tokens=4, seed=1)
     assert np.all(np.isfinite(samples))
+
+
+def test_cli_smoke(model_dir, tmp_path, capsys, monkeypatch):
+    from qwen3_tts_tpu import cli
+
+    monkeypatch.setenv("QWEN3TTS_MAX_TOKENS", "6")
+    out = tmp_path / "cli_out.wav"
+    rc = cli.main([str(model_dir), str(out), "aiden", "CLI smoke test sentence."])
+    assert rc == 0
+    captured = capsys.readouterr().out
+    assert "Real-time factor" in captured or "Generated" in captured
+    assert out.exists()
