@@ -16,7 +16,7 @@ import jax
 import jax.numpy as jnp
 
 from ..config import CodePredictorConfig
-from ..ops.attention import causal_mask, gqa_attention_full
+from ..ops.attention import gqa_attention_full
 from ..ops.linear import linear
 from ..ops.norms import rms_norm
 from ..ops import rope as rope_ops

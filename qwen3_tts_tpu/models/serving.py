@@ -26,11 +26,9 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..config import Qwen3TTSConfig
-from ..ops.attention import causal_mask
 from ..ops.linear import linear
 from ..ops.norms import rms_norm
 from ..ops.sampling import NEG_INF, sample_token, talker_valid_mask
-from ..ops import rope as rope_ops
 from . import code_predictor as cp_mod
 from . import generate as gen_mod
 from . import talker as talker_mod

@@ -403,8 +403,27 @@ class Qwen3TTSPipeline:
             max_tokens=max_tokens or self.pipeline_config.default_max_tokens,
             seed=seed,
         )
-        for i, frames in zip(keep, frames_list):
-            outputs[i] = self._decode_to_audio(gen_mod.filter_valid_frames(frames))
+        # Batch the vocoder across streams too: pad every stream's codes to
+        # the longest (code 0 rows are valid embeddings), decode in one
+        # chunked call, trim per stream.
+        valid_list = [gen_mod.filter_valid_frames(f) for f in frames_list]
+        t_max = max((len(v) for v in valid_list), default=0)
+        if t_max == 0:
+            return outputs
+        nq = self.config.code_predictor_config.num_code_groups
+        codes = np.zeros((len(valid_list), nq, t_max), np.int32)
+        for j, v in enumerate(valid_list):
+            if len(v):
+                codes[j, :, : len(v)] = v.T
+        chunk = int(os.environ.get("QWEN3TTS_DECODE_CHUNK_SIZE", "100"))
+        ctx = int(os.environ.get("QWEN3TTS_DECODE_LEFT_CONTEXT", "10"))
+        wav = voc.chunked_decode(
+            self.vocoder_params, codes, self.speech_config.decoder_config,
+            chunk_size=chunk, left_context=ctx,
+        )
+        for i, j in zip(keep, range(len(valid_list))):
+            n = len(valid_list[j]) * self._samples_per_frame
+            outputs[i] = _clean(wav[j][:n])
         return outputs
 
     # -- streaming -------------------------------------------------------

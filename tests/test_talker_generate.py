@@ -167,3 +167,25 @@ def test_decode_window_trim_schedule(models, tok):
     # after 16 steps one trim boundary (step 15) passed; window_start =
     # max(0, p+15-192) which is 0 for tiny prompts — check step counter advanced
     assert int(state["step"]) == int(count) if bool(state["eos"]) else 16
+
+
+def test_max_tokens_non_multiple_of_chunk(models, tok):
+    """Prefetch loop must cap exactly at max_tokens when it is not a multiple
+    of chunk_steps (one speculative chunk's tail is dropped)."""
+    cfg, params, cp_params = models
+    pd = P.assemble_prompt(params, cfg, tok, "Edge case text for capping.",
+                           speaker="aiden")
+    frames = G.generate_codes(params, cp_params, cfg, pd,
+                              temperature=0.9, max_tokens=13, chunk_steps=8)
+    assert len(frames) == 13
+
+
+def test_stream_chunks_cover_exactly_max_tokens(models, tok):
+    cfg, params, cp_params = models
+    pd = P.assemble_prompt(params, cfg, tok, "Streaming cap text here.",
+                           speaker="aiden")
+    chunks = list(G.stream_codes(params, cp_params, cfg, pd,
+                                 temperature=0.9, max_tokens=20, chunk_steps=8))
+    total = sum(len(c) for c in chunks)
+    assert total == 20
+    assert [len(c) for c in chunks] == [8, 8, 4]
