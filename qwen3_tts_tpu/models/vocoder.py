@@ -334,3 +334,36 @@ def chunked_decode(
     # [num_chunks*B, S] -> [B, num_chunks*S] (chunk-major time order)
     wav = wav.reshape(num_chunks, b, -1).transpose(1, 0, 2).reshape(b, -1)
     return wav[:, : t * total_up]
+
+
+def speech_tokenizer_decode(
+    params: dict,
+    audio_codes: np.ndarray | jax.Array,
+    cfg: TokenizerDecoderConfig,
+    *,
+    chunk_size: int | None = None,
+    left_context: int | None = None,
+    decode_upsample_rate: int | None = None,
+) -> tuple[np.ndarray, np.ndarray]:
+    """Top-level speech-tokenizer decode (reference
+    Qwen3TTSSpeechTokenizer.decode, SpeechTokenizer.swift:1012-1022):
+    audio_codes [B, T, nq] -> (wav [B, T * upsample], audio_lengths [B]) where
+    a frame counts toward a stream's length iff its code 0 is > 0. Chunk
+    size / left context honor the QWEN3TTS_DECODE_* env overrides
+    (SpeechTokenizer.swift:1014-1015)."""
+    import os
+
+    audio_codes = np.asarray(audio_codes)
+    chunk = chunk_size or int(os.environ.get("QWEN3TTS_DECODE_CHUNK_SIZE", "100"))
+    ctx = (
+        left_context
+        if left_context is not None
+        else int(os.environ.get("QWEN3TTS_DECODE_LEFT_CONTEXT", "10"))
+    )
+    up = decode_upsample_rate or cfg.total_upsample
+    wav = chunked_decode(
+        params, audio_codes.transpose(0, 2, 1), cfg,
+        chunk_size=chunk, left_context=ctx,
+    )
+    lengths = (audio_codes[:, :, 0] > 0).sum(axis=1).astype(np.int64) * up
+    return wav, lengths

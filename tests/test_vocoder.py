@@ -116,3 +116,21 @@ def test_empty_codes():
         params, np.zeros((1, cfg.num_quantizers, 0), np.int32), cfg
     )
     assert out.shape == (1, 0)
+
+
+def test_speech_tokenizer_decode_lengths():
+    """(wav, audio_lengths) wrapper parity (reference
+    SpeechTokenizer.swift:1012-1022: lengths count frames with code0 > 0)."""
+    cfg, params = _setup()
+    t = 6
+    codes = np.array(
+        jax.random.randint(
+            jax.random.PRNGKey(9), (2, t, cfg.num_quantizers), 1, cfg.codebook_size
+        )
+    )
+    codes[0, 4:, 0] = 0  # stream 0: only 4 "valid" frames
+    wav, lengths = voc.speech_tokenizer_decode(
+        params, codes, cfg, chunk_size=4, left_context=2
+    )
+    assert wav.shape == (2, t * cfg.total_upsample)
+    assert lengths.tolist() == [4 * cfg.total_upsample, t * cfg.total_upsample]
