@@ -88,3 +88,70 @@ def test_train_step_decreases_loss():
             losses.append(float(loss))
     assert all(jnp.isfinite(jnp.asarray(losses)))
     assert losses[-1] < losses[0], losses
+
+
+def _tts_batch(config, b=2, t=6, seed=2):
+    ng = config.code_predictor_config.num_code_groups
+    k1, k2 = jax.random.split(jax.random.PRNGKey(seed))
+    return {
+        "embeds": jax.random.normal(k1, (b, t, config.hidden_size)),
+        "frames": jax.random.randint(
+            k2, (b, t, ng), 0, config.code_predictor_config.vocab_size
+        ),
+        "mask": jnp.ones((b, t), jnp.float32),
+    }
+
+
+def test_tts_loss_shapes_and_parts():
+    from qwen3_tts_tpu.models import code_predictor as cp_mod
+    from qwen3_tts_tpu.testing import tiny_models
+
+    config, params, cp_params = tiny_models()
+    batch = _tts_batch(config)
+    loss, parts = train_mod.tts_loss(params, cp_params, batch, config)
+    assert jnp.isfinite(loss)
+    assert jnp.isfinite(parts["code0"]) and jnp.isfinite(parts["cp"])
+    # both parts roughly log(vocab) at random init
+    import numpy as np
+
+    assert 4.0 < float(parts["code0"]) < 12.0
+    assert 4.0 < float(parts["cp"]) < 12.0
+
+
+def test_tts_train_step_decreases_loss():
+    from qwen3_tts_tpu.testing import tiny_models
+
+    config, params, cp_params = tiny_models()
+    both = {"talker": params, "cp": cp_params}
+    optimizer, step = train_mod.make_tts_train_step(config)
+    opt_state = jax.jit(optimizer.init)(both)
+    batch = _tts_batch(config)
+    losses = []
+    for _ in range(5):
+        both, opt_state, loss, parts = step(both, opt_state, batch)
+        losses.append(float(loss))
+    assert losses[-1] < losses[0], losses
+
+
+def test_tts_train_step_sharded():
+    from qwen3_tts_tpu.testing import tiny_models
+
+    config, params, cp_params = tiny_models()
+    mesh = sh.make_mesh(8, tp=2)
+    params = sh.shard_params(params, mesh, config=config)
+    both = {"talker": params, "cp": cp_params}
+    optimizer, step = train_mod.make_tts_train_step(config)
+    opt_state = jax.jit(optimizer.init)(both)
+    batch = _tts_batch(config, b=8)
+    batch = {
+        "embeds": jax.device_put(
+            batch["embeds"], NamedSharding(mesh, P("dp", None, None))
+        ),
+        "frames": jax.device_put(
+            batch["frames"], NamedSharding(mesh, P("dp", None, None))
+        ),
+        "mask": jax.device_put(batch["mask"], NamedSharding(mesh, P("dp", None))),
+    }
+    with mesh:
+        both, opt_state, loss, parts = step(both, opt_state, batch)
+    assert jnp.isfinite(loss)
