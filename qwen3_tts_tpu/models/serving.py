@@ -250,6 +250,7 @@ def prefill_batched(
         "step": jnp.int32(0),
         "window_start": jnp.zeros((b,), jnp.int32),
         "trailing_idx": jnp.zeros((b,), jnp.int32),
+        "start_step": jnp.zeros((b,), jnp.int32),
         "consecutive_pad": jnp.zeros((b,), jnp.int32),
         "eos": jnp.zeros((b,), jnp.bool_),
         "seen_code0": jnp.zeros((b, cfg.vocab_size), jnp.bool_),
@@ -345,7 +346,10 @@ def decode_chunk_serving(
 
         input_embed = (text_embed + embed_sum).astype(state["h_last"].dtype)
         positions = state["lengths"] + state["step"]  # [B] per-stream absolute
-        slot = state["p_pad"] + state["step"]  # shared ring slot
+        # shared ring slot, wrapping like the single-stream path (the window
+        # mask on absolute positions keeps stale slots invisible; RING_SLACK
+        # > window + trim interval guarantees no live-slot collisions)
+        slot = (state["p_pad"] + state["step"]) % jnp.int32(statics.capacity)
         h, cache = talker_decode_step_batched(
             params, input_embed, state["cache"], positions, slot,
             state["window_start"], cfg,
@@ -359,8 +363,12 @@ def decode_chunk_serving(
 
         step = state["step"] + 1
         total_len = state["lengths"] + step
+        # per-stream trim schedule: every TRIM_INTERVAL of the stream's OWN
+        # steps (start_step offsets admitted streams, keeping single-stream
+        # parity for continuous batching)
+        own_step = step - state["start_step"]
         window_start = jnp.where(
-            (step % gen_mod.TRIM_INTERVAL == 0) & emit,
+            (own_step % gen_mod.TRIM_INTERVAL == 0) & emit,
             jnp.maximum(state["window_start"], total_len - gen_mod.KV_WINDOW),
             state["window_start"],
         )
@@ -464,3 +472,86 @@ def generate_codes_batched(
         else np.zeros((0, config.code_predictor_config.num_code_groups), np.int32)
         for r in results
     ]
+
+
+# ---------------------------------------------------------------------------
+# Continuous batching: admit a fresh utterance into a finished stream slot
+# ---------------------------------------------------------------------------
+
+
+@functools.partial(jax.jit, static_argnames=("statics",), donate_argnames=("state",))
+def admit_stream(
+    state: dict,
+    idx: jax.Array,
+    fresh: dict,
+    statics: gen_mod.GenStatics,
+) -> dict:
+    """Replace batch row `idx` of a running serving state with a freshly
+    prefilled single-stream state (continuous batching: new utterances join
+    as others finish, without stopping the batch).
+
+    Slot alignment: the batch's shared ring cursor sits at
+    (p_pad + step) % capacity, while the fresh prefill wrote its prompt at
+    slots [0, p_pad). Attention is masked on absolute POSITIONS, not slot
+    order, so rolling the fresh cache row by `step % capacity` re-aligns its
+    prompt to end exactly one slot before the cursor. The admitted stream's
+    per-stream position base becomes lengths[idx] = fresh_len - step, so the
+    shared `positions = lengths + step` formula yields its own absolute
+    positions from its own prompt length onward.
+    """
+    cap = statics.capacity
+    step = state["step"]
+    shift = (step % jnp.int32(cap)).astype(jnp.int32)
+
+    def put_row(arr, row, axis):
+        row = jnp.expand_dims(row, axis)
+        start = [jnp.int32(0)] * arr.ndim
+        start[axis] = idx.astype(jnp.int32)
+        return jax.lax.dynamic_update_slice(arr, row.astype(arr.dtype), tuple(start))
+
+    # roll the fresh cache row so its prompt ends at the shared cursor - 1
+    fk = jnp.roll(fresh["cache"]["k"][:, 0], shift, axis=2)   # [L,Hkv,C,D]
+    fv = jnp.roll(fresh["cache"]["v"][:, 0], shift, axis=2)
+    fpos = jnp.roll(fresh["cache"]["pos"][0], shift, axis=0)  # fresh pos is [B=1,C]
+
+    cache = dict(state["cache"])
+    cache["k"] = put_row(cache["k"], fk, axis=1)
+    cache["v"] = put_row(cache["v"], fv, axis=1)
+    cache["pos"] = put_row(cache["pos"], fpos, axis=0)
+
+    new = {**state, "cache": cache}
+    new["h_last"] = put_row(state["h_last"], fresh["h_last"][0], 0)
+    new["logits"] = put_row(state["logits"], fresh["logits"][0], 0)
+    new["lengths"] = put_row(
+        state["lengths"], fresh["lengths"][0] - step, 0
+    )
+    new["window_start"] = put_row(state["window_start"], jnp.int32(0), 0)
+    new["start_step"] = put_row(state["start_step"], step, 0)
+    new["trailing_idx"] = put_row(state["trailing_idx"], jnp.int32(0), 0)
+    new["consecutive_pad"] = put_row(state["consecutive_pad"], jnp.int32(0), 0)
+    new["eos"] = put_row(state["eos"], jnp.bool_(False), 0)
+    new["seen_code0"] = put_row(state["seen_code0"], fresh["seen_code0"][0], 0)
+    new["trailing"] = put_row(state["trailing"], fresh["trailing"][0], 0)
+    new["total_texts"] = put_row(state["total_texts"], fresh["total_texts"][0], 0)
+    new["rngs"] = put_row(state["rngs"], fresh["rngs"][0], 0)
+    return new
+
+
+def concat_states(states: list[dict]) -> dict:
+    """Concatenate single-stream (B=1) serving states from prefill_batched
+    into one B=len(states) batch. Scalar fields (step, p_pad) must match and
+    stay shared; the cache batch axis is axis 1 for k/v and axis 0 for pos."""
+    first = states[0]
+    out = dict(first)
+    out["cache"] = {
+        "k": jnp.concatenate([s["cache"]["k"] for s in states], axis=1),
+        "v": jnp.concatenate([s["cache"]["v"] for s in states], axis=1),
+        "pos": jnp.concatenate([s["cache"]["pos"] for s in states], axis=0),
+    }
+    for key in (
+        "h_last", "logits", "lengths", "window_start", "trailing_idx",
+        "start_step", "consecutive_pad", "eos", "seen_code0", "trailing",
+        "total_texts", "rngs",
+    ):
+        out[key] = jnp.concatenate([s[key] for s in states], axis=0)
+    return out

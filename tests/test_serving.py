@@ -134,3 +134,90 @@ def test_stream_first_decode_chunk(tmp_path):
     b = np.concatenate([c.samples for c in full if len(c.samples)])
     # same codes; vocoder context boundaries differ -> compare lengths only
     assert len(a) == len(b)
+
+
+def test_serving_ring_wrap_long_generation():
+    """Generations longer than RING_SLACK must wrap the shared ring slot and
+    keep matching the single-stream path (which wraps via position % capacity).
+    Regression test: the slot previously grew unbounded and clamped."""
+    cfg, params, cp_params = tiny_models()
+    text = "Ring wrap parity test sentence for long generation."
+    pd = P.assemble_prompt(params, cfg, FakeByteTokenizer(), text, speaker="aiden")
+    n = G.RING_SLACK + 40  # force a wrap (capacity = bucket + RING_SLACK)
+    single = G.filter_valid_frames(
+        G.generate_codes(params, cp_params, cfg, pd, temperature=0.0,
+                         max_tokens=n, chunk_steps=64, track_cp_penalty=False)
+    )
+    batched = S.generate_codes_batched(
+        params, cp_params, cfg, [pd, pd], temperature=0.0,
+        max_tokens=n, chunk_steps=64,
+    )
+    for i in range(2):
+        got = G.filter_valid_frames(batched[i])
+        assert len(got) == len(single)
+        np.testing.assert_array_equal(got, single, err_msg=f"stream {i}")
+
+
+def test_continuous_batching_admit():
+    """Admitting a fresh utterance into a running batch slot must reproduce
+    that utterance's single-stream greedy output exactly (slot-roll + position
+    rebase + per-stream trim schedule), while the other stream continues as
+    if uninterrupted."""
+    import jax.numpy as jnp
+
+    cfg, params, cp_params = tiny_models()
+    text_a = "Stream A keeps going through the admission event."
+    text_b = "Stream B gets admitted later with fresh content."
+    pd_a = P.assemble_prompt(params, cfg, FakeByteTokenizer(), text_a, speaker="aiden")
+    pd_b = P.assemble_prompt(params, cfg, FakeByteTokenizer(), text_b, speaker="aiden")
+
+    p_bucket = G.pick_bucket(
+        max(int(pd_a.input_embeds.shape[1]), int(pd_b.input_embeds.shape[1]))
+    )
+    statics = G.GenStatics(config=cfg, capacity=p_bucket + G.RING_SLACK,
+                           chunk_steps=10, track_cp_penalty=False)
+
+    def one_stream_state(pd, rng_seed):
+        p = int(pd.input_embeds.shape[1])
+        t = int(pd.trailing_hidden.shape[1])
+        t_bucket = G.pick_bucket(t, G.TRAILING_BUCKETS)
+        e = jnp.zeros((1, p_bucket, cfg.hidden_size)).at[:, :p].set(pd.input_embeds)
+        tr = jnp.zeros((1, t_bucket, cfg.hidden_size)).at[:, :t].set(pd.trailing_hidden)
+        return S.prefill_batched(
+            params, e, jnp.full((1,), p, jnp.int32), tr,
+            jnp.full((1,), t, jnp.int32), pd.tts_pad_embed,
+            jax.vmap(jax.random.PRNGKey)(jnp.asarray([rng_seed])), statics,
+        )
+
+    # batch of two copies of A; decode 2 chunks; admit B into slot 1; 3 more
+    state_a0 = one_stream_state(pd_a, 0)
+    state_a1 = one_stream_state(pd_a, 1)
+    batched = S.concat_states([state_a0, state_a1])
+    temp = jnp.float32(0.0)
+    frames_a = []
+    st = batched
+    for _ in range(2):
+        f, c, e, st = S.decode_chunk_serving(params, cp_params, st, temp, statics)
+        frames_a.append(np.asarray(f)[0])
+    fresh_b = one_stream_state(pd_b, 7)
+    st = S.admit_stream(st, jnp.int32(1), fresh_b, statics)
+    frames_b = []
+    for _ in range(3):
+        f, c, e, st = S.decode_chunk_serving(params, cp_params, st, temp, statics)
+        frames_a.append(np.asarray(f)[0])
+        frames_b.append(np.asarray(f)[1])
+
+    got_a = G.filter_valid_frames(np.concatenate(frames_a))
+    got_b = G.filter_valid_frames(np.concatenate(frames_b))
+
+    single_a = G.filter_valid_frames(G.generate_codes(
+        params, cp_params, cfg, pd_a, temperature=0.0, max_tokens=50,
+        chunk_steps=10, track_cp_penalty=False))
+    single_b = G.filter_valid_frames(G.generate_codes(
+        params, cp_params, cfg, pd_b, temperature=0.0, max_tokens=30,
+        chunk_steps=10, track_cp_penalty=False))
+
+    np.testing.assert_array_equal(got_a, single_a[: len(got_a)])
+    assert len(got_a) == 50
+    np.testing.assert_array_equal(got_b, single_b[: len(got_b)])
+    assert len(got_b) == 30
