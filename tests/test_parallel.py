@@ -155,3 +155,41 @@ def test_tts_train_step_sharded():
     with mesh:
         both, opt_state, loss, parts = step(both, opt_state, batch)
     assert jnp.isfinite(loss)
+
+
+def test_serving_decode_under_tp_sharding():
+    """The batched serving decode chunk must run with tp-sharded talker params
+    (XLA inserts collectives; outputs match the unsharded run)."""
+    import numpy as np
+
+    from qwen3_tts_tpu.models import prompt as P
+    from qwen3_tts_tpu.models import serving as S
+    from qwen3_tts_tpu.models import generate as G
+    from qwen3_tts_tpu.testing import FakeByteTokenizer, tiny_models
+
+    cfg, params, cp_params = tiny_models()
+    pd = P.assemble_prompt(params, cfg, FakeByteTokenizer(),
+                           "Sharded serving test sentence.", speaker="aiden")
+    pb = G.pick_bucket(int(pd.input_embeds.shape[1]))
+    statics = G.GenStatics(config=cfg, capacity=pb + G.RING_SLACK,
+                           chunk_steps=6, track_cp_penalty=False)
+    p = int(pd.input_embeds.shape[1]); t = int(pd.trailing_hidden.shape[1])
+    tb = G.pick_bucket(t, G.TRAILING_BUCKETS)
+    e = jnp.zeros((2, pb, cfg.hidden_size)).at[:, :p].set(
+        jnp.broadcast_to(pd.input_embeds, (2, p, cfg.hidden_size)))
+    tr = jnp.zeros((2, tb, cfg.hidden_size)).at[:, :t].set(
+        jnp.broadcast_to(pd.trailing_hidden, (2, t, cfg.hidden_size)))
+    args = (e, jnp.full((2,), p, jnp.int32), tr, jnp.full((2,), t, jnp.int32),
+            pd.tts_pad_embed, jax.vmap(jax.random.PRNGKey)(jnp.arange(2)))
+
+    state = S.prefill_batched(params, *args, statics)
+    f0, *_ = S.decode_chunk_serving(params, cp_params, state,
+                                    jnp.float32(0.0), statics)
+
+    mesh = sh.make_mesh(8, tp=2)
+    sparams = sh.shard_params(params, mesh, config=cfg)
+    with mesh:
+        state = S.prefill_batched(sparams, *args, statics)
+        f1, *_ = S.decode_chunk_serving(sparams, cp_params, state,
+                                        jnp.float32(0.0), statics)
+    np.testing.assert_array_equal(np.asarray(f0), np.asarray(f1))
