@@ -555,3 +555,124 @@ def concat_states(states: list[dict]) -> dict:
     ):
         out[key] = jnp.concatenate([s[key] for s in states], axis=0)
     return out
+
+
+class ContinuousServer:
+    """Host-side continuous-batching orchestrator: keeps B slots decoding in
+    lockstep, drains finished utterances, and admits queued prompts into
+    freed slots mid-flight (no batch restarts). Each utterance's greedy
+    output is bitwise-identical to a fresh single-stream run.
+
+    Usage:
+        server = ContinuousServer(params, cp_params, config, batch_size=8)
+        results = server.run(prompt_datas, temperature=0.9, max_tokens=600)
+    """
+
+    def __init__(
+        self,
+        params: dict,
+        cp_params: dict,
+        config: Qwen3TTSConfig,
+        *,
+        batch_size: int = 8,
+        prompt_bucket: int | None = None,
+        trailing_bucket: int | None = None,
+        chunk_steps: int = 48,
+        seed: int = 0,
+    ):
+        self.params = params
+        self.cp_params = cp_params
+        self.config = config
+        self.batch_size = batch_size
+        self.prompt_bucket = prompt_bucket or gen_mod.PROMPT_BUCKETS[2]  # 128
+        self.trailing_bucket = trailing_bucket or gen_mod.TRAILING_BUCKETS[1]
+        self.statics = gen_mod.GenStatics(
+            config=config,
+            capacity=self.prompt_bucket + gen_mod.RING_SLACK,
+            chunk_steps=chunk_steps,
+            track_cp_penalty=False,
+        )
+        self._seed = seed
+
+    def _prefill_one(self, pd, seed: int) -> dict:
+        p = int(pd.input_embeds.shape[1])
+        t = int(pd.trailing_hidden.shape[1])
+        if p > self.prompt_bucket or t > self.trailing_bucket:
+            raise ValueError(
+                f"prompt ({p}/{t}) exceeds server buckets "
+                f"({self.prompt_bucket}/{self.trailing_bucket})"
+            )
+        dtype = pd.input_embeds.dtype
+        h = pd.input_embeds.shape[2]
+        e = jnp.zeros((1, self.prompt_bucket, h), dtype).at[:, :p].set(pd.input_embeds)
+        tr = jnp.zeros((1, self.trailing_bucket, h), dtype).at[:, :t].set(
+            pd.trailing_hidden
+        )
+        return prefill_batched(
+            self.params, e, jnp.full((1,), p, jnp.int32), tr,
+            jnp.full((1,), t, jnp.int32), pd.tts_pad_embed,
+            jax.vmap(jax.random.PRNGKey)(jnp.asarray([seed])), self.statics,
+        )
+
+    def run(
+        self,
+        prompt_datas: list,
+        *,
+        temperature: float = 0.9,
+        max_tokens: int = 1200,
+    ) -> list[np.ndarray]:
+        """Serve all prompts; returns per-prompt raw frames [T_i, 16]."""
+        n = len(prompt_datas)
+        results: list[list[np.ndarray]] = [[] for _ in range(n)]
+        emitted = [0] * n
+        queue = list(range(n))
+        b = self.batch_size
+        temp = jnp.float32(temperature)
+
+        # initial fill (reuse request 0's prompt for padding slots; their
+        # outputs are discarded)
+        slot_req: list[int | None] = []
+        states = []
+        for slot in range(b):
+            if queue:
+                req = queue.pop(0)
+                slot_req.append(req)
+                states.append(self._prefill_one(prompt_datas[req], self._seed + req))
+            else:
+                slot_req.append(None)
+                states.append(self._prefill_one(prompt_datas[0], self._seed - 1 - slot))
+        state = concat_states(states)
+
+        while any(r is not None for r in slot_req):
+            frames, counts, eos, state = decode_chunk_serving(
+                self.params, self.cp_params, state, temp, self.statics
+            )
+            frames_np = np.asarray(frames)
+            eos_np = np.asarray(eos)
+            for slot in range(b):
+                req = slot_req[slot]
+                if req is None:
+                    continue
+                valid = frames_np[slot][frames_np[slot][:, 0] >= 0]
+                take = min(len(valid), max_tokens - emitted[req])
+                if take > 0:
+                    results[req].append(valid[:take])
+                    emitted[req] += take
+                done = bool(eos_np[slot]) or emitted[req] >= max_tokens
+                if done:
+                    slot_req[slot] = None
+                    if queue:
+                        new_req = queue.pop(0)
+                        slot_req[slot] = new_req
+                        fresh = self._prefill_one(
+                            prompt_datas[new_req], self._seed + new_req
+                        )
+                        state = admit_stream(
+                            state, jnp.int32(slot), fresh, self.statics
+                        )
+
+        ng = self.config.code_predictor_config.num_code_groups
+        return [
+            np.concatenate(r, axis=0) if r else np.zeros((0, ng), np.int32)
+            for r in results
+        ]

@@ -221,3 +221,33 @@ def test_continuous_batching_admit():
     assert len(got_a) == 50
     np.testing.assert_array_equal(got_b, single_b[: len(got_b)])
     assert len(got_b) == 30
+
+
+def test_continuous_server_many_requests():
+    """5 requests through a 2-slot server: every request's greedy output must
+    match its single-stream run; finished slots admit queued prompts."""
+    cfg, params, cp_params = tiny_models()
+    texts = [
+        "Server request number one text.",
+        "Second request with different content entirely.",
+        "Third utterance to be queued behind the others.",
+        "Fourth sentence joins when a slot frees up.",
+        "Fifth and final request in the queue.",
+    ]
+    pds = [
+        P.assemble_prompt(params, cfg, FakeByteTokenizer(), t, speaker="aiden")
+        for t in texts
+    ]
+    server = S.ContinuousServer(
+        params, cp_params, cfg, batch_size=2, chunk_steps=8, seed=0
+    )
+    out = server.run(pds, temperature=0.0, max_tokens=12)
+    assert len(out) == 5
+    for i, pd in enumerate(pds):
+        single = G.filter_valid_frames(
+            G.generate_codes(params, cp_params, cfg, pd, temperature=0.0,
+                             max_tokens=12, chunk_steps=8, track_cp_penalty=False)
+        )
+        np.testing.assert_array_equal(out[i], single[: len(out[i])],
+                                      err_msg=f"request {i}")
+        assert len(out[i]) == len(single) == 12
