@@ -13,7 +13,7 @@ per-chip target — lower is better, < 1.0 beats the target).
 
 Measured context (ROADMAP.md): single-stream decode is ~4.2 ms/frame
 (RTF ~0.053, per-op-latency/bandwidth bound); lockstep batching costs only
-~20% more per step for 8 streams and ~45% more for 16.
+~20% more per step for 8 streams, ~45% for 16, ~85% for 32.
 """
 
 from __future__ import annotations
@@ -34,7 +34,7 @@ from qwen3_tts_tpu.testing import FakeByteTokenizer
 
 BASELINE_RTF = 0.05  # BASELINE.md target: RTF < 0.05 per chip
 FRAME_SECONDS = 1920.0 / 24000.0  # 80 ms per codec frame
-BATCH = 16
+BATCH = 32
 CHUNK_STEPS = 48
 
 
