@@ -95,12 +95,16 @@ class NativeBpe:
             lib.qbpe_add_merge(self._h, lb, len(lb), rb, len(rb), rank)
         self._out = (ctypes.c_int32 * self.MAX_OUT)()
 
-    def encode_word(self, word: str) -> list[int]:
-        """BPE-encode one pre-split, pre-mapped word (Ġ/Ċ already applied)."""
+    def encode_word(self, word: str) -> list[int] | None:
+        """BPE-encode one pre-split, pre-mapped word (Ġ/Ċ already applied).
+
+        Returns None when the word's id count exceeds MAX_OUT (pathological
+        unbroken runs); callers fall back to the pure-Python path, which has
+        no buffer limit — a valid input must never become a crash."""
         b = word.encode("utf-8")
         n = self._lib.qbpe_encode_word(self._h, b, len(b), self._out, self.MAX_OUT)
         if n < 0:
-            raise ValueError(f"word too long for native BPE buffer: {len(b)} bytes")
+            return None
         return list(np.frombuffer(self._out, np.int32, n))
 
     def __del__(self):

@@ -230,18 +230,29 @@ class Qwen3Tokenizer:
             newline_char = "Ċ" if "Ċ" in self.vocab else "\n"
             for token in sub_tokens:
                 mapped = token.replace(" ", space_char).replace("\n", newline_char)
-                ids.extend(self._native.encode_word(mapped))
+                native_ids = self._native.encode_word(mapped)
+                if native_ids is None:
+                    # Word overflowed the native output buffer; the Python
+                    # path has no limit and must produce identical ids.
+                    ids.extend(self._encode_token_python(token))
+                else:
+                    ids.extend(native_ids)
             return ids
         for token in sub_tokens:
-            for piece in self._bpe(token):
-                pid = self.vocab.get(piece)
-                if pid is not None:
-                    ids.append(pid)
-                else:
-                    for byte in piece.encode("utf-8"):
-                        bid = self.vocab.get("<0x%02X>" % byte)
-                        if bid is not None:
-                            ids.append(bid)
+            ids.extend(self._encode_token_python(token))
+        return ids
+
+    def _encode_token_python(self, token: str) -> list[int]:
+        ids: list[int] = []
+        for piece in self._bpe(token):
+            pid = self.vocab.get(piece)
+            if pid is not None:
+                ids.append(pid)
+            else:
+                for byte in piece.encode("utf-8"):
+                    bid = self.vocab.get("<0x%02X>" % byte)
+                    if bid is not None:
+                        ids.append(bid)
         return ids
 
     def _bpe(self, token: str) -> list[str]:

@@ -542,6 +542,14 @@ def concat_states(states: list[dict]) -> dict:
     into one B=len(states) batch. Scalar fields (step, p_pad) must match and
     stay shared; the cache batch axis is axis 1 for k/v and axis 0 for pos."""
     first = states[0]
+    for i, s in enumerate(states[1:], 1):
+        for field in ("step", "p_pad"):
+            if int(s[field]) != int(first[field]):
+                raise ValueError(
+                    f"concat_states: states[{i}][{field!r}]={int(s[field])} != "
+                    f"states[0][{field!r}]={int(first[field])}; mixed-step "
+                    "concatenation would corrupt the shared ring cursor"
+                )
     out = dict(first)
     out["cache"] = {
         "k": jnp.concatenate([s["cache"]["k"] for s in states], axis=1),

@@ -37,6 +37,12 @@ from ..quant import quantized_matmul_ref, unpack_bits_np
 
 PALLAS_BITS = (2, 4, 8)
 
+# The kernels keep the full [M, K] activation block in VMEM (only the output
+# dim is tiled), so large-M calls (prefill at big buckets) could exceed VMEM.
+# Above this row count the jnp path is used instead — prefill is MXU-bound and
+# XLA's fused dequant-matmul is fine there; the kernels exist for decode-sized M.
+PALLAS_MAX_M = 1024
+
 
 # ---------------------------------------------------------------------------
 # Load-time repack
@@ -164,7 +170,12 @@ def quantized_matmul(
     the MLX-layout "wq". Leading batch dims of x are flattened to rows."""
     lead = x.shape[:-1]
     x2 = x.reshape(-1, x.shape[-1])
-    if "wq_kl" in params and jax.default_backend() == "tpu" and bits in PALLAS_BITS:
+    if (
+        "wq_kl" in params
+        and jax.default_backend() == "tpu"
+        and bits in PALLAS_BITS
+        and x2.shape[0] <= PALLAS_MAX_M
+    ):
         y = quantized_matmul_pallas(
             x2, params["wq_kl"], params["scales"], params.get("biases"),
             bits=bits, group_size=group_size,
@@ -264,7 +275,11 @@ def int8_matmul(x: jax.Array, params: dict) -> jax.Array:
     k = x.shape[-1]
     g = params["scales"].shape[-1]
     group = k // g
-    if "w8_kl" in params and jax.default_backend() == "tpu":
+    if (
+        "w8_kl" in params
+        and jax.default_backend() == "tpu"
+        and x2.shape[0] <= PALLAS_MAX_M
+    ):
         y = quantized_matmul_int8_pallas(
             x2, params["w8_kl"], params["scales"], params["biases"], group_size=group
         )

@@ -111,9 +111,8 @@ class Qwen3TTSPipeline:
         self.tokenizer = Qwen3Tokenizer(model_path)
 
         weights = safetensors_io.load_file(weights_path)
-        np_dtype = np.float32 if dtype == jnp.float32 else np.float32
         params, cp_params = ckpt.load_talker_checkpoint(
-            weights, self.config, dtype=np_dtype
+            weights, self.config, dtype=np.float32
         )
 
         if (
@@ -137,13 +136,29 @@ class Qwen3TTSPipeline:
         np_target = (
             ml_dtypes.bfloat16 if dtype == jnp.bfloat16 else np.dtype(dtype)
         )
-        cast = lambda x: (  # noqa: E731
-            np.asarray(x)
-            if np.asarray(x).dtype.kind in "ui"
-            else np.asarray(x, np_target)
-        )
-        self.params = jax.device_put(jax.tree.map(cast, params))
-        self.cp_params = jax.device_put(jax.tree.map(cast, cp_params))
+
+        def cast_tree(tree):
+            # Quantized scales/biases keep their checkpoint float precision
+            # (fp16/fp32): casting them to bf16 drops ~3 mantissa bits vs the
+            # reference's fp16 dequant math. Integer leaves pass through.
+            def walk(node):
+                if isinstance(node, dict):
+                    return {
+                        k: (
+                            np.asarray(v)
+                            if k in ("scales", "biases")
+                            and np.asarray(v).dtype.kind == "f"
+                            else walk(v)
+                        )
+                        for k, v in node.items()
+                    }
+                arr = np.asarray(node)
+                return arr if arr.dtype.kind in "ui" else np.asarray(arr, np_target)
+
+            return walk(tree)
+
+        self.params = jax.device_put(cast_tree(params))
+        self.cp_params = jax.device_put(cast_tree(cp_params))
 
         # Speaker encoder (optional; "speaker_encoder." keys in the main file,
         # reference Qwen3TTSPipeline.swift:156-170)

@@ -24,5 +24,16 @@ import sys
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
+import pytest
+
+
 def pytest_report_header(config):
     return f"jax backend: {jax.default_backend()}, devices: {jax.device_count()}"
+
+
+def pytest_collection_modifyitems(config, items):
+    """Everything not marked `slow` is the smoke tier: `pytest -m smoke`
+    runs the fast suite (<60 s); `pytest` alone still runs everything."""
+    for item in items:
+        if "slow" not in item.keywords:
+            item.add_marker(pytest.mark.smoke)

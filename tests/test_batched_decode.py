@@ -7,6 +7,9 @@ import numpy as np
 from qwen3_tts_tpu.models import generate as G
 from qwen3_tts_tpu.models import prompt as P
 from qwen3_tts_tpu.testing import FakeByteTokenizer, tiny_models
+import pytest
+
+pytestmark = pytest.mark.slow
 
 
 def _prep(cfg, params, text):

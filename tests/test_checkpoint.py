@@ -4,6 +4,7 @@ code predictor, and vocoder, plus dequantize-on-load and safetensors I/O."""
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from qwen3_tts_tpu.config import QuantizationSettings
 from qwen3_tts_tpu.io import checkpoint as ckpt
@@ -38,6 +39,7 @@ def _trees_equal(a, b, path=""):
             )
 
 
+@pytest.mark.slow
 def test_talker_checkpoint_round_trip():
     config = tiny_talker_config()
     params = talker_mod.init_talker_params(config, jax.random.PRNGKey(0))
@@ -123,6 +125,7 @@ def test_prequantized_checkpoint_keeps_packed():
     assert loaded["layers"]["qkv_proj"]["wq"].shape[0] == config.num_hidden_layers
 
 
+@pytest.mark.slow
 def test_vocoder_checkpoint_round_trip():
     cfg = tiny_decoder_config()
     params = voc.init_vocoder_params(cfg, jax.random.PRNGKey(0))
@@ -133,6 +136,7 @@ def test_vocoder_checkpoint_round_trip():
     _trees_equal(jax.tree.map(np.asarray, params), loaded)
 
 
+@pytest.mark.slow
 def test_vocoder_loaded_decode_matches():
     """Functional: decode with loaded params == decode with original params."""
     cfg = tiny_decoder_config()

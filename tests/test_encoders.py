@@ -14,6 +14,10 @@ from qwen3_tts_tpu.testing import (
     tiny_speaker_config,
 )
 
+import pytest
+
+pytestmark = pytest.mark.slow
+
 
 # -- mel frontend ----------------------------------------------------------
 

@@ -54,6 +54,26 @@ def test_native_disabled_by_env(monkeypatch):
     assert tok.encode("hello world")  # python path still works
 
 
+def test_native_buffer_overflow_falls_back_to_python(lib_available, monkeypatch):
+    """A word whose id count exceeds the native output buffer must not crash:
+    encode_word returns None and the tokenizer takes the Python path, producing
+    identical ids."""
+    if not lib_available:
+        pytest.skip("no native lib")
+    monkeypatch.setattr(native_bpe.NativeBpe, "MAX_OUT", 8)
+    tok_native = Qwen3Tokenizer(vocab=VOCAB, merges=MERGES)
+    assert tok_native._native is not None
+    assert tok_native._native.MAX_OUT == 8
+
+    tok_py = Qwen3Tokenizer(vocab=VOCAB, merges=MERGES)
+    tok_py._native = None
+
+    long_word = "zq" * 50  # no merges apply -> 100 ids > MAX_OUT
+    text = f"hello {long_word} world"
+    assert tok_native._native.encode_word(long_word) is None
+    assert tok_native.encode(text) == tok_py.encode(text)
+
+
 def test_native_encode_word_direct(lib_available):
     if not lib_available:
         pytest.skip("no native lib")

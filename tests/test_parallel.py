@@ -15,6 +15,8 @@ from qwen3_tts_tpu.parallel import sharding as sh
 from qwen3_tts_tpu.parallel import train as train_mod
 from qwen3_tts_tpu.testing import tiny_talker_config
 
+pytestmark = pytest.mark.slow
+
 
 def _make_batch(config, b=4, t=16, seed=1):
     k1, k2 = jax.random.split(jax.random.PRNGKey(seed))

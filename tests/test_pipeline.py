@@ -14,6 +14,8 @@ from qwen3_tts_tpu.pipeline import (
 )
 from qwen3_tts_tpu.testing import write_tiny_model_dir
 
+pytestmark = pytest.mark.slow
+
 TEXT = "Hello world, this is a longer test sentence for synthesis."
 
 

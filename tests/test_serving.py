@@ -9,6 +9,9 @@ from qwen3_tts_tpu.models import generate as G
 from qwen3_tts_tpu.models import prompt as P
 from qwen3_tts_tpu.models import serving as S
 from qwen3_tts_tpu.testing import FakeByteTokenizer, tiny_models
+import pytest
+
+pytestmark = pytest.mark.slow
 
 TEXTS = [
     "First stream text for batched serving.",

@@ -15,6 +15,8 @@ from qwen3_tts_tpu.models import prompt as P
 from qwen3_tts_tpu.models import talker as T
 from qwen3_tts_tpu.testing import FakeByteTokenizer, tiny_models
 
+pytestmark = pytest.mark.slow
+
 TEXT = "Hello world, this is a test."
 
 

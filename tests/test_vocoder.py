@@ -7,6 +7,9 @@ import numpy as np
 
 from qwen3_tts_tpu.models import vocoder as voc
 from qwen3_tts_tpu.testing import tiny_decoder_config
+import pytest
+
+pytestmark = pytest.mark.slow
 
 
 def _setup(seed=0):
