@@ -273,6 +273,65 @@ def apply_mixed_quantization(
     return out
 
 
+def quantize_rowwise_int8_np(
+    w: np.ndarray,
+) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Per-output-row SIGNED int8 affine quantization: w ~= s[o] * q[o, :] + m[o]
+    with q in [-127, 127].
+
+    This is the cp mega-kernel's weight format (ops/pallas/cp_megakernel.py):
+    per-row (not per-group-64) scales let the dequant fold into the OUTPUT side
+    of an int8 x int8 MXU matmul — y[o] = sx*s[o]*(xq . q[o]) + m[o]*sx*sum(xq)
+    — so no per-element weight dequant ever runs. Leading axes are preserved
+    (rows = last-but-one axis)."""
+    w = np.asarray(w, np.float32)
+    mx = w.max(axis=-1)
+    mn = w.min(axis=-1)
+    scale = np.maximum((mx - mn) / 254.0, 1e-12).astype(np.float32)
+    mid = ((mx + mn) / 2.0).astype(np.float32)
+    q = np.clip(np.round((w - mid[..., None]) / scale[..., None]), -127, 127)
+    return q.astype(np.int8), scale, mid
+
+
+def quantize_rowwise_int8_jnp(
+    w: jax.Array,
+) -> tuple[jax.Array, jax.Array, jax.Array]:
+    """Device-side twin of quantize_rowwise_int8_np (same rounding: both are
+    round-half-even), for building kernel weights without host round trips."""
+    w = w.astype(jnp.float32)
+    mx = jnp.max(w, axis=-1)
+    mn = jnp.min(w, axis=-1)
+    scale = jnp.maximum((mx - mn) / 254.0, 1e-12)
+    mid = (mx + mn) / 2.0
+    q = jnp.clip(jnp.round((w - mid[..., None]) / scale[..., None]), -127, 127)
+    return q.astype(jnp.int8), scale, mid
+
+
+def quantize_act_sym_jnp(x: jax.Array) -> tuple[jax.Array, jax.Array]:
+    """Per-row symmetric int8 activation quantization (the A8 half of W8A8):
+    x ~= sx * xq, xq in [-127, 127], sx = max|row| / 127. Returns (xq int8,
+    sx float32 [..., 1]). Zero rows quantize to zeros (sx floor guards /0)."""
+    ax = jnp.max(jnp.abs(x.astype(jnp.float32)), axis=-1, keepdims=True)
+    sx = jnp.maximum(ax / 127.0, 1e-12)
+    xq = jnp.clip(jnp.round(x.astype(jnp.float32) / sx), -127, 127)
+    return xq.astype(jnp.int8), sx
+
+
+def w8a8_linear_ref(
+    x: jax.Array, q: jax.Array, s: jax.Array, m: jax.Array
+) -> jax.Array:
+    """jnp mirror of the kernel's W8A8 matmul: y = x @ (s*q + m).T with x
+    symmetrically int8-quantized per row. q: int8 [O, K]; s, m: f32 [O]."""
+    xq, sx = quantize_act_sym_jnp(x)
+    acc = jax.lax.dot_general(
+        xq.astype(jnp.int32), q.astype(jnp.int32),
+        dimension_numbers=(((x.ndim - 1,), (1,)), ((), ())),
+        preferred_element_type=jnp.int32,
+    ).astype(jnp.float32)
+    sum_xq = jnp.sum(xq.astype(jnp.float32), axis=-1, keepdims=True)
+    return sx * s.astype(jnp.float32) * acc + m.astype(jnp.float32) * (sx * sum_xq)
+
+
 def quantize_int8_np(
     w: np.ndarray, group_size: int = 64
 ) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
