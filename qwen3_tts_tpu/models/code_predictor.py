@@ -167,6 +167,19 @@ def predict_frame(
     (codes [15] int32, embed_sum [B, 1, H_t] = sum of the 15 group embeds,
     updated seen_cp).
     """
+    # W8A8 mega-kernel path (ops/pallas/cp_megakernel.py): one pallas_call per
+    # frame. Attached by the pipeline under the reserved "kernel" key; B=1 only
+    # (batched serving keeps the jnp path, where weight reads amortize over
+    # streams). Off-TPU the kernel runs in the Mosaic interpreter.
+    if "kernel" in params and code_hidden.shape[0] == 1:
+        from ..ops.pallas.cp_megakernel import predict_frame_kernel
+
+        return predict_frame_kernel(
+            params["kernel"], code_hidden, code0_embed, key, temperature,
+            seen_cp, config, repetition_penalty,
+            interpret=jax.default_backend() != "tpu",
+        )
+
     ng = config.num_code_groups - 1
     nl = config.num_hidden_layers
     b = code_hidden.shape[0]

@@ -382,6 +382,10 @@ def decode_chunk_batched(
     that hit EOS early idle inside the loop (their outputs are already
     correct — `cond` keeps them parked via state["eos"]).
     """
+    # The cp mega-kernel is a B=1 pallas_call; under vmap the jnp path must
+    # run instead (its batched matmuls amortize weight reads across streams).
+    cp_params = {k: v for k, v in cp_params.items() if k != "kernel"}
+
     def one(state, temp):
         # reuse the single-stream body exactly (jit-inlined, not re-jitted)
         return decode_chunk.__wrapped__(params, cp_params, state, temp, statics)

@@ -216,12 +216,17 @@ def _cp_kernel(
 
         # gumbel-argmax == categorical; temp==0 degrades to exact greedy.
         # u = (bits24 + 0.5) / 2^24 is strictly inside (0, 1): u == 1.0 would
-        # make g infinite and temp * g NaN at temperature 0.
-        bits = pltpu.prng_random_bits((1, vocab))
-        u = (bits >> jnp.uint32(8)).astype(jnp.int32).astype(jnp.float32)
-        u = (u + 0.5) * (1.0 / 16777216.0)
+        # make g infinite and temp * g NaN at temperature 0. The 24-bit value
+        # is carved out with an explicit LOGICAL shift on int32 — a plain >>
+        # on uint32 can lower as an arithmetic shift on TPU, yielding negative
+        # u and NaN logits.
+        bits = pltpu.bitcast(pltpu.prng_random_bits((1, vocab)), jnp.int32)
+        u24 = jax.lax.shift_right_logical(bits, 8).astype(jnp.float32)
+        u = (u24 + 0.5) * (1.0 / 16777216.0)
         g = -jnp.log(-jnp.log(u))
-        code = jnp.argmax(lg + temp * g, axis=-1)[0].astype(jnp.int32)
+        # elementwise select keeps greedy independent of g entirely
+        score = jnp.where(temp > 0, lg + temp * g, lg)
+        code = jnp.argmax(score, axis=-1)[0].astype(jnp.int32)
 
         lane_v = jax.lax.broadcasted_iota(jnp.int32, (1, vocab), 1)
         onehot = (lane_v == code).astype(jnp.float32)
@@ -699,7 +704,8 @@ def predict_frame_w8a8_ref(
             )
             lg = logits / pen
             g = jax.random.gumbel(keys[t], (vocab,), jnp.float32)
-            code = jnp.argmax(lg + temp * g).astype(jnp.int32)
+            score = jnp.where(temp > 0, lg + temp * g, lg)
+            code = jnp.argmax(score).astype(jnp.int32)
             codes = codes.at[k_idx].set(code)
             onehot = (jnp.arange(vocab) == code).astype(jnp.float32)
             seen = seen.at[k_idx].max(onehot)

@@ -72,6 +72,10 @@ class Qwen3TTSPipelineConfiguration:
     default_max_tokens: int = 2400
     default_streaming_chunk_size: int = 12
     crossfade_samples: int = 480
+    # Code-predictor W8A8 mega-kernel (ops/pallas/cp_megakernel.py) for
+    # single-stream decode: None = auto (on for the TPU backend), or force
+    # with True/False / env QWEN3TTS_CP_KERNEL=0|1. ~2x faster frames on v5e.
+    use_cp_megakernel: bool | None = None
 
 
 class Qwen3TTSError(Exception):
@@ -115,6 +119,7 @@ class Qwen3TTSPipeline:
             weights, self.config, dtype=np.float32
         )
 
+        cp_dense = cp_params  # kernel builder needs the pre-quantization tree
         if (
             self.pipeline_config.apply_runtime_quantization
             and self.config.quantization is None
@@ -128,6 +133,21 @@ class Qwen3TTSPipeline:
                 params = apply_mixed_quantization(params)
                 cp_params = apply_mixed_quantization(cp_params)
 
+        use_kernel = self.pipeline_config.use_cp_megakernel
+        env_kernel = os.environ.get("QWEN3TTS_CP_KERNEL")
+        if env_kernel is not None:
+            use_kernel = env_kernel not in ("0", "false", "False")
+        if use_kernel is None:
+            use_kernel = jax.default_backend() == "tpu"
+        if use_kernel:
+            from .ops.pallas.cp_megakernel import build_cp_kernel_params
+
+            cp_params = dict(cp_params)
+            cp_params["kernel"] = build_cp_kernel_params(
+                cp_dense, self.config.code_predictor_config
+            )
+        del cp_dense
+
         # Cast on host (ml_dtypes handles bf16 in numpy), then one async
         # device_put of the whole tree — per-leaf jnp.asarray converts would
         # dispatch hundreds of tiny device ops and dominate load time.
@@ -140,12 +160,15 @@ class Qwen3TTSPipeline:
         def cast_tree(tree):
             # Quantized scales/biases keep their checkpoint float precision
             # (fp16/fp32): casting them to bf16 drops ~3 mantissa bits vs the
-            # reference's fp16 dequant math. Integer leaves pass through.
+            # reference's fp16 dequant math. Integer leaves pass through, and
+            # the mega-kernel subtree is already in its exact on-device format.
             def walk(node):
                 if isinstance(node, dict):
                     return {
                         k: (
-                            np.asarray(v)
+                            jax.tree.map(np.asarray, v)
+                            if k == "kernel"
+                            else np.asarray(v)
                             if k in ("scales", "biases")
                             and np.asarray(v).dtype.kind == "f"
                             else walk(v)

@@ -24,6 +24,9 @@ from qwen3_tts_tpu.ops.pallas.cp_megakernel import (
 )
 
 P = lambda *a: print(*a, flush=True)
+# The mirror's f32 attention dots must not be demoted to bf16 passes (TPU
+# default) when checking parity with the kernel's f32 MXU dots.
+jax.config.update("jax_default_matmul_precision", "highest")
 CFG = CodePredictorConfig()  # 0.6B standard: hc=1024 nl=5 nq=16 nkv=8 inter=3072
 TH = 1024
 P("backend:", jax.default_backend(), "config:", CFG.hidden_size, CFG.num_hidden_layers)
@@ -60,7 +63,11 @@ codes_m, esum_m, _ = jax.jit(
 jax.block_until_ready(codes_m)
 P("mirror compile+run: %.1fs" % (time.time() - t0))
 ck, cm = np.asarray(codes_k), np.asarray(codes_m)
-P("greedy parity: kernel==mirror:", bool((ck == cm).all()), ck[:8], cm[:8])
+P("greedy parity: kernel==mirror:", bool((ck == cm).all()))
+P("kernel:", ck)
+P("mirror:", cm)
+P("agree: %d/15 first_diff=%s" % (
+    (ck == cm).sum(), np.nonzero(ck != cm)[0][:1]))
 ed = float(np.abs(np.asarray(esum_k) - np.asarray(esum_m)).max())
 P("esum max diff: %.2e" % ed)
 

@@ -138,6 +138,36 @@ def test_kernel_sampling_path_runs():
     assert np.isfinite(np.asarray(esum)).all()
 
 
+def test_decode_loop_with_kernel_attached():
+    """End-to-end: stream_codes with the kernel subtree attached (interpret
+    mode on CPU) emits valid deterministic frames, and the batched path
+    silently strips the kernel."""
+    from qwen3_tts_tpu.models import generate as G
+    from qwen3_tts_tpu.models import prompt as P
+    from qwen3_tts_tpu.testing import FakeByteTokenizer, tiny_models
+    from qwen3_tts_tpu.ops.pallas.cp_megakernel import build_cp_kernel_params
+
+    cfg, params, cp_params = tiny_models()
+    kp = jax.device_put(
+        build_cp_kernel_params(cp_params, cfg.code_predictor_config)
+    )
+    cp_k = dict(cp_params)
+    cp_k["kernel"] = kp
+    pd = P.assemble_prompt(params, cfg, FakeByteTokenizer(), "hi", speaker="aiden")
+
+    def run():
+        return G.generate_codes(
+            params, cp_k, cfg, pd, temperature=0.0, max_tokens=6, chunk_steps=3
+        )
+
+    frames = run()
+    assert frames.shape[1] == cfg.code_predictor_config.num_code_groups
+    assert frames.shape[0] >= 1
+    assert (frames[:, 1:] >= 0).all()
+    assert (frames[:, 1:] < cfg.code_predictor_config.vocab_size).all()
+    np.testing.assert_array_equal(frames, run())  # greedy deterministic
+
+
 def test_mirror_close_to_dense_fp32():
     """W8A8 logits track the dense fp32 code predictor: greedy codes mostly
     agree on random weights (quantization noise can flip near-ties)."""
