@@ -82,6 +82,13 @@ def prefill(
     )
     logits = talker_mod.codec_head(params, h_last)[0, 0]  # [V] float32
 
+    if "kernel" in params:
+        # talker mega-kernel decode path: ring cache in [C, nl*nkv*hd] layout
+        # (ops/pallas/talker_megakernel.py)
+        from ..ops.pallas.talker_megakernel import cache_to_kernel_layout
+
+        cache = cache_to_kernel_layout(cache, cfg)
+
     ng = cfg.code_predictor_config.num_code_groups - 1
     cp_vocab = cfg.code_predictor_config.vocab_size
     return {
@@ -200,11 +207,25 @@ def decode_chunk(
             )
 
             input_embed = (text_embed + embed_sum).astype(state["h_last"].dtype)
-            h, cache = talker_mod.talker_decode_step(
-                params, input_embed, state["cache"],
-                state["total_len"], state["window_start"], cfg,
-            )
-            logits = talker_mod.codec_head(params, h)[0, 0]
+            if "kernel" in params:
+                from ..ops.pallas.talker_megakernel import talker_step_kernel
+
+                pos2d = jnp.broadcast_to(
+                    state["total_len"][None, None], (1, 1)
+                )
+                cos, sin = talker_mod._rope_cos_sin(cfg, pos2d)
+                h, logits, cache = talker_step_kernel(
+                    params["kernel"], input_embed, state["cache"],
+                    state["total_len"], state["window_start"],
+                    cos[0].astype(jnp.float32), sin[0].astype(jnp.float32),
+                    cfg, interpret=jax.default_backend() != "tpu",
+                )
+            else:
+                h, cache = talker_mod.talker_decode_step(
+                    params, input_embed, state["cache"],
+                    state["total_len"], state["window_start"], cfg,
+                )
+                logits = talker_mod.codec_head(params, h)[0, 0]
 
             total_len = state["total_len"] + 1
             step = state["step"] + 1
@@ -382,8 +403,11 @@ def decode_chunk_batched(
     that hit EOS early idle inside the loop (their outputs are already
     correct — `cond` keeps them parked via state["eos"]).
     """
-    # The cp mega-kernel is a B=1 pallas_call; under vmap the jnp path must
-    # run instead (its batched matmuls amortize weight reads across streams).
+    # The mega-kernels are B=1 pallas_calls; under vmap the jnp paths must
+    # run instead (their batched matmuls amortize weight reads across
+    # streams). NOTE: states must come from prefill() with the same stripped
+    # params — the talker kernel switches the cache layout.
+    params = {k: v for k, v in params.items() if k != "kernel"}
     cp_params = {k: v for k, v in cp_params.items() if k != "kernel"}
 
     def one(state, temp):

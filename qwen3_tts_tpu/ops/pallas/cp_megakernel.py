@@ -64,6 +64,9 @@ def _w8a8(x, wq, s, m):
     acc = jax.lax.dot_general(
         xq, wq, dimension_numbers=(((1,), (1,)), ((), ())),
         preferred_element_type=jnp.int32,
+        # pin: a global jax_default_matmul_precision="highest" would request
+        # an fp32 contract on int8 operands, which Mosaic rejects
+        precision=jax.lax.Precision.DEFAULT,
     ).astype(jnp.float32)
     sum_xq = jnp.sum(xq.astype(jnp.float32), axis=-1, keepdims=True)
     return sx * s * acc + m * (sx * sum_xq)
@@ -90,6 +93,7 @@ def _to_row(heads, n, hd):
             jax.lax.dot_general(
                 e, heads, dimension_numbers=(((1,), (0,)), ((), ())),
                 preferred_element_type=jnp.float32,
+                precision=jax.lax.Precision.HIGHEST,  # exact extraction
             )
         )
     return jnp.concatenate(parts, axis=1)
@@ -175,6 +179,7 @@ def _cp_kernel(
                 sc = jax.lax.dot_general(
                     qp, ks, dimension_numbers=(((1,), (1,)), ((), ())),
                     preferred_element_type=jnp.float32,
+                    precision=jax.lax.Precision.HIGHEST,
                 ) * scale  # (group, n_pos)
                 sc = jnp.where(slot_ids <= t, sc, -1e30)
                 mx = jnp.max(sc, axis=-1, keepdims=True)
@@ -184,6 +189,7 @@ def _cp_kernel(
                     jax.lax.dot_general(
                         p, vs, dimension_numbers=(((1,), (0,)), ((), ())),
                         preferred_element_type=jnp.float32,
+                        precision=jax.lax.Precision.HIGHEST,
                     )
                 )  # (group, hd)
             attn = jnp.concatenate(outs, axis=0)  # (nq, hd)
@@ -663,12 +669,18 @@ def predict_frame_w8a8_ref(
             outs = []
             for j in range(nkv):
                 qp = q[j * group:(j + 1) * group]
-                sc = (qp @ kv_k[l, j].T) * scale  # (group, n_pos)
+                # HIGHEST keeps these f32 dots exact — the TPU default would
+                # demote them to bf16 passes and break kernel parity
+                sc = jnp.dot(
+                    qp, kv_k[l, j].T, precision=jax.lax.Precision.HIGHEST
+                ) * scale  # (group, n_pos)
                 sc = jnp.where(slot_ids <= t, sc, -1e30)
                 mx = jnp.max(sc, axis=-1, keepdims=True)
                 p = jnp.exp(sc - mx)
                 p = p / jnp.sum(p, axis=-1, keepdims=True)
-                outs.append(p @ kv_v[l, j])
+                outs.append(
+                    jnp.dot(p, kv_v[l, j], precision=jax.lax.Precision.HIGHEST)
+                )
             attn = jnp.concatenate(outs, axis=0).reshape(1, nq * hd)
             h = h + w8a8_linear_ref(
                 attn, kp["o_q"][l], kp["o_s"][l][0], kp["o_m"][l][0]

@@ -327,6 +327,7 @@ def w8a8_linear_ref(
         xq.astype(jnp.int32), q.astype(jnp.int32),
         dimension_numbers=(((x.ndim - 1,), (1,)), ((), ())),
         preferred_element_type=jnp.int32,
+        precision=jax.lax.Precision.DEFAULT,  # integer dots are exact anyway
     ).astype(jnp.float32)
     sum_xq = jnp.sum(xq.astype(jnp.float32), axis=-1, keepdims=True)
     return sx * s.astype(jnp.float32) * acc + m.astype(jnp.float32) * (sx * sum_xq)

@@ -72,10 +72,12 @@ class Qwen3TTSPipelineConfiguration:
     default_max_tokens: int = 2400
     default_streaming_chunk_size: int = 12
     crossfade_samples: int = 480
-    # Code-predictor W8A8 mega-kernel (ops/pallas/cp_megakernel.py) for
-    # single-stream decode: None = auto (on for the TPU backend), or force
-    # with True/False / env QWEN3TTS_CP_KERNEL=0|1. ~2x faster frames on v5e.
+    # W8A8 mega-kernels (ops/pallas/cp_megakernel.py,
+    # ops/pallas/talker_megakernel.py) for single-stream decode: None = auto
+    # (on for the TPU backend), or force with True/False / env
+    # QWEN3TTS_CP_KERNEL=0|1, QWEN3TTS_TALKER_KERNEL=0|1.
     use_cp_megakernel: bool | None = None
+    use_talker_megakernel: bool | None = None
 
 
 class Qwen3TTSError(Exception):
@@ -119,7 +121,9 @@ class Qwen3TTSPipeline:
             weights, self.config, dtype=np.float32
         )
 
-        cp_dense = cp_params  # kernel builder needs the pre-quantization tree
+        # kernel builders need the pre-quantization trees
+        cp_dense = cp_params
+        talker_dense = params
         if (
             self.pipeline_config.apply_runtime_quantization
             and self.config.quantization is None
@@ -133,20 +137,31 @@ class Qwen3TTSPipeline:
                 params = apply_mixed_quantization(params)
                 cp_params = apply_mixed_quantization(cp_params)
 
-        use_kernel = self.pipeline_config.use_cp_megakernel
-        env_kernel = os.environ.get("QWEN3TTS_CP_KERNEL")
-        if env_kernel is not None:
-            use_kernel = env_kernel not in ("0", "false", "False")
-        if use_kernel is None:
-            use_kernel = jax.default_backend() == "tpu"
-        if use_kernel:
+        def _knob(cfg_value, env_name):
+            env = os.environ.get(env_name)
+            if env is not None:
+                return env not in ("0", "false", "False")
+            if cfg_value is None:
+                return jax.default_backend() == "tpu"
+            return cfg_value
+
+        if _knob(self.pipeline_config.use_cp_megakernel, "QWEN3TTS_CP_KERNEL"):
             from .ops.pallas.cp_megakernel import build_cp_kernel_params
 
             cp_params = dict(cp_params)
             cp_params["kernel"] = build_cp_kernel_params(
                 cp_dense, self.config.code_predictor_config
             )
-        del cp_dense
+        if _knob(
+            self.pipeline_config.use_talker_megakernel, "QWEN3TTS_TALKER_KERNEL"
+        ):
+            from .ops.pallas.talker_megakernel import build_talker_kernel_params
+
+            params = dict(params)
+            params["kernel"] = build_talker_kernel_params(
+                talker_dense, self.config
+            )
+        del cp_dense, talker_dense
 
         # Cast on host (ml_dtypes handles bf16 in numpy), then one async
         # device_put of the whole tree — per-leaf jnp.asarray converts would

@@ -24,9 +24,6 @@ from qwen3_tts_tpu.ops.pallas.cp_megakernel import (
 )
 
 P = lambda *a: print(*a, flush=True)
-# The mirror's f32 attention dots must not be demoted to bf16 passes (TPU
-# default) when checking parity with the kernel's f32 MXU dots.
-jax.config.update("jax_default_matmul_precision", "highest")
 CFG = CodePredictorConfig()  # 0.6B standard: hc=1024 nl=5 nq=16 nkv=8 inter=3072
 TH = 1024
 P("backend:", jax.default_backend(), "config:", CFG.hidden_size, CFG.num_hidden_layers)
