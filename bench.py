@@ -1,19 +1,20 @@
-"""Benchmark: per-chip serving RTF on the default JAX backend.
+"""Benchmark: END-TO-END real-time factor on the default JAX backend.
 
-Prints ONE JSON line {"metric", "value", "unit", "vs_baseline"}.
+Prints ONE JSON line {"metric", "value", "unit", "vs_baseline", "aux"}.
 
-Measures the production serving configuration: BATCH utterances decoded in
-lockstep on one chip (models/serving.py) — the full hot path per step
-(batched talker step + on-device sampling + 15-group code-predictor sub-loop)
-on the `.standard` (0.6B-class) config in bfloat16 with random weights (the
-reference publishes no numbers, BASELINE.md; compute cost is
-weight-value-independent). Per-chip RTF = wall_time / (B * audio_duration);
-one frame = 80 ms of 24 kHz audio. vs_baseline = RTF / 0.05 (the BASELINE.md
-per-chip target — lower is better, < 1.0 beats the target).
+Headline = end-to-end single-stream RTF at 1.7B-class dims — the BASELINE.md
+north-star metric (RTF < 0.05 on one v5e chip), measured with the reference's
+own formula genTime / durationSec (main.swift:54): wall time of
+prefill + autoregressive decode + vocoder, divided by seconds of audio
+actually emitted (post-EOS frames are NOT counted). Decode runs the W8A8
+mega-kernel path (ops/pallas/*_megakernel.py) — the default on TPU.
 
-Measured context (ROADMAP.md): single-stream decode is ~4.2 ms/frame
-(RTF ~0.053, per-op-latency/bandwidth bound); lockstep batching costs only
-~20% more per step for 8 streams, ~45% for 16, ~85% for 32.
+aux carries the 0.6B end-to-end RTF and the per-chip lockstep-serving RTF at
+B=32 including the vocoder share (throughput metric; the jnp batched path).
+
+Weights are random (the reference publishes no numbers; compute cost is
+weight-value-independent) and the prompt uses the deterministic
+FakeByteTokenizer, so the bench measures exactly the compute path.
 """
 
 from __future__ import annotations
@@ -23,28 +24,30 @@ import time
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
-from qwen3_tts_tpu.config import Qwen3TTSConfig
+from qwen3_tts_tpu.config import Qwen3TTSConfig, TokenizerDecoderConfig
 from qwen3_tts_tpu.models import code_predictor as cp_mod
 from qwen3_tts_tpu.models import generate as gen_mod
 from qwen3_tts_tpu.models import prompt as prompt_mod
 from qwen3_tts_tpu.models import serving as srv
 from qwen3_tts_tpu.models import talker as talker_mod
+from qwen3_tts_tpu.models import vocoder as voc
 from qwen3_tts_tpu.testing import FakeByteTokenizer
 
-BASELINE_RTF = 0.05  # BASELINE.md target: RTF < 0.05 per chip
+BASELINE_RTF = 0.05  # BASELINE.md: RTF (1.7B) < 0.05 on one v5e chip
 FRAME_SECONDS = 1920.0 / 24000.0  # 80 ms per codec frame
-BATCH = 32
 CHUNK_STEPS = 48
+N_CHUNKS = 2
+SERVE_BATCH = 32
+
+TEXT = (
+    "The quick brown fox jumps over the lazy dog while the TPU hums along, "
+    "turning codec frames into twenty-four kilohertz audio in real time."
+)
 
 
-def main() -> None:
-    config = Qwen3TTSConfig.standard()
-    dtype = jnp.bfloat16
-
-    # One jitted device-side init: eager per-weight RNG would dispatch
-    # hundreds of ops over the (tunneled) device link, and host-side numpy
-    # generation is minutes on throttled hosts.
+def build_models(config: Qwen3TTSConfig, dtype, use_kernels: bool):
     @jax.jit
     def device_init(key):
         k1, k2 = jax.random.split(key)
@@ -56,39 +59,105 @@ def main() -> None:
         )
 
     params, cp_params = device_init(jax.random.PRNGKey(0))
+    if use_kernels:
+        from qwen3_tts_tpu.ops.pallas.cp_megakernel import (
+            build_cp_kernel_params_device,
+        )
+        from qwen3_tts_tpu.ops.pallas.talker_megakernel import (
+            build_talker_kernel_params_device,
+        )
 
-    text = (
-        "The quick brown fox jumps over the lazy dog while the TPU hums along, "
-        "turning codec frames into twenty-four kilohertz audio in real time."
-    )
+        cpk = build_cp_kernel_params_device(
+            cp_params, config.code_predictor_config
+        )
+        tk = build_talker_kernel_params_device(params, config)
+        cp_params = dict(cp_params)
+        cp_params["kernel"] = cpk
+        params = dict(params)
+        params["kernel"] = tk
+    return params, cp_params
+
+
+def e2e_rtf(config: Qwen3TTSConfig, voc_params, vcfg, use_kernels=True) -> float:
+    """Wall(prefill + decode + vocoder) / emitted audio seconds."""
+    dtype = jnp.bfloat16
+    params, cp_params = build_models(config, dtype, use_kernels)
     pd = prompt_mod.assemble_prompt(
-        params, config, FakeByteTokenizer(), text, speaker="aiden"
+        params, config, FakeByteTokenizer(), TEXT, speaker="aiden"
     )
-    assert pd is not None
-
     p = int(pd.input_embeds.shape[1])
     t = int(pd.trailing_hidden.shape[1])
-    p_bucket = gen_mod.pick_bucket(p)
-    t_bucket = gen_mod.pick_bucket(t, gen_mod.TRAILING_BUCKETS)
-    statics = gen_mod.GenStatics(
-        config=config,
-        capacity=p_bucket + gen_mod.RING_SLACK,
-        chunk_steps=CHUNK_STEPS,
-        track_cp_penalty=False,
-    )
-
+    pb = gen_mod.pick_bucket(p)
+    tb = gen_mod.pick_bucket(t, gen_mod.TRAILING_BUCKETS)
     h = config.hidden_size
-    embeds = jnp.zeros((BATCH, p_bucket, h), dtype)
-    embeds = embeds.at[:, :p].set(
-        jnp.broadcast_to(pd.input_embeds.astype(dtype), (BATCH, p, h))
+    embeds = jnp.zeros((1, pb, h), dtype).at[:, :p].set(pd.input_embeds)
+    trailing = jnp.zeros((1, tb, h), dtype).at[:, :t].set(pd.trailing_hidden)
+    statics = gen_mod.GenStatics(
+        config=config, capacity=pb + gen_mod.RING_SLACK,
+        chunk_steps=CHUNK_STEPS, track_cp_penalty=False,
     )
-    trailing = jnp.zeros((BATCH, t_bucket, h), dtype)
-    trailing = trailing.at[:, :t].set(
-        jnp.broadcast_to(pd.trailing_hidden.astype(dtype), (BATCH, t, h))
+    temp = jnp.float32(0.9)
+    total = CHUNK_STEPS * N_CHUNKS
+
+    def run():
+        # Everything stays on device until one final sync — matching the
+        # production streaming path, whose depth-1 prefetch hides the
+        # (tunneled) host round trip between chunks. Mid-loop int(count)
+        # syncs would bill ~50 ms of tunnel RTT per chunk to the model.
+        state = gen_mod.prefill(
+            params, embeds, jnp.int32(p), trailing, jnp.int32(t),
+            pd.tts_pad_embed, jax.random.PRNGKey(42), statics,
+        )
+        frames_all, counts = [], []
+        for _ in range(N_CHUNKS):
+            frames, count, eos, state = gen_mod.decode_chunk(
+                params, cp_params, state, temp, statics
+            )
+            frames_all.append(frames)
+            counts.append(count)
+        codes = jnp.concatenate(frames_all, axis=0)  # [total, 16] device
+        codes = jnp.clip(codes, 0, vcfg.codebook_size - 1)
+        wav = voc.decode_frames_jit(voc_params, codes.T[None], vcfg)
+        wav.block_until_ready()
+        return counts
+
+    run()  # compile everything
+    t0 = time.perf_counter()
+    counts = run()
+    wall = time.perf_counter() - t0
+    # EOS-aware frame count, synced OUTSIDE the timed region (the counts were
+    # already computed before the clock stopped)
+    n = sum(int(c) for c in counts)
+    return wall / (max(n, 1) * FRAME_SECONDS)
+
+
+def serving_rtf(config: Qwen3TTSConfig, voc_params, vcfg) -> float:
+    """Per-chip lockstep serving RTF at B=SERVE_BATCH, including the vocoder
+    share (jnp batched decode path)."""
+    dtype = jnp.bfloat16
+    params, cp_params = build_models(config, dtype, use_kernels=False)
+    pd = prompt_mod.assemble_prompt(
+        params, config, FakeByteTokenizer(), TEXT, speaker="aiden"
     )
-    lengths = jnp.full((BATCH,), p, jnp.int32)
-    totals = jnp.full((BATCH,), t, jnp.int32)
-    rngs = jax.vmap(jax.random.PRNGKey)(jnp.arange(100, 100 + BATCH))
+    p = int(pd.input_embeds.shape[1])
+    t = int(pd.trailing_hidden.shape[1])
+    pb = gen_mod.pick_bucket(p)
+    tb = gen_mod.pick_bucket(t, gen_mod.TRAILING_BUCKETS)
+    statics = gen_mod.GenStatics(
+        config=config, capacity=pb + gen_mod.RING_SLACK,
+        chunk_steps=CHUNK_STEPS, track_cp_penalty=False,
+    )
+    h = config.hidden_size
+    B = SERVE_BATCH
+    embeds = jnp.zeros((B, pb, h), dtype).at[:, :p].set(
+        jnp.broadcast_to(pd.input_embeds.astype(dtype), (B, p, h))
+    )
+    trailing = jnp.zeros((B, tb, h), dtype).at[:, :t].set(
+        jnp.broadcast_to(pd.trailing_hidden.astype(dtype), (B, t, h))
+    )
+    lengths = jnp.full((B,), p, jnp.int32)
+    totals = jnp.full((B,), t, jnp.int32)
+    rngs = jax.vmap(jax.random.PRNGKey)(jnp.arange(100, 100 + B))
     temp = jnp.float32(0.9)
 
     def fresh_state():
@@ -97,33 +166,58 @@ def main() -> None:
             pd.tts_pad_embed.astype(dtype), rngs, statics,
         )
 
-    # Warmup / compile. decode donates state, so rebuild per timed run.
     state = fresh_state()
     frames, counts, eos, state = srv.decode_chunk_serving(
         params, cp_params, state, temp, statics
     )
-    frames.block_until_ready()
+    codes = jnp.zeros((B, vcfg.num_quantizers, CHUNK_STEPS), jnp.int32)
+    wav = voc.decode_frames_jit(voc_params, codes, vcfg)
+    jax.block_until_ready((frames, wav))
 
-    n_chunks = 3
+    n_chunks = 2
     state = fresh_state()
     jax.block_until_ready(state)
+    emitted = 0
     t0 = time.perf_counter()
     for _ in range(n_chunks):
         frames, counts, eos, state = srv.decode_chunk_serving(
             params, cp_params, state, temp, statics
         )
-    frames.block_until_ready()
+        emitted += int(jnp.sum(counts))  # EOS-aware
+        wav = voc.decode_frames_jit(voc_params, codes, vcfg)
+    jax.block_until_ready(wav)
     elapsed = time.perf_counter() - t0
+    return elapsed / (max(emitted, 1) * FRAME_SECONDS)
 
-    stream_frames = n_chunks * CHUNK_STEPS * BATCH
-    rtf = elapsed / (stream_frames * FRAME_SECONDS)
+
+def main() -> None:
+    vcfg = TokenizerDecoderConfig()  # real vocoder dims (1920x upsample)
+    voc_params = jax.jit(
+        lambda k: voc.init_vocoder_params(vcfg, k, jnp.float32)
+    )(jax.random.PRNGKey(7))
+    jax.block_until_ready(voc_params)
+
+    aux = {}
+    rtf_06 = e2e_rtf(Qwen3TTSConfig.standard(), voc_params, vcfg)
+    aux["e2e_rtf_0.6b"] = round(rtf_06, 5)
+    try:
+        rtf_17 = e2e_rtf(Qwen3TTSConfig.standard_1_7b(), voc_params, vcfg)
+    except Exception as e:  # report honestly rather than die
+        aux["e2e_rtf_1.7b_error"] = type(e).__name__
+        rtf_17 = None
+    srv_rtf = serving_rtf(Qwen3TTSConfig.standard(), voc_params, vcfg)
+    aux["serving_rtf_per_chip_0.6b_b32_incl_vocoder"] = round(srv_rtf, 5)
+
+    headline = rtf_17 if rtf_17 is not None else rtf_06
+    name = "e2e_rtf_1.7b_bf16_w8a8" if rtf_17 is not None else "e2e_rtf_0.6b_bf16_w8a8"
     print(
         json.dumps(
             {
-                "metric": f"serving_rtf_per_chip_0.6b_bf16_b{BATCH}",
-                "value": round(rtf, 5),
+                "metric": name,
+                "value": round(headline, 5),
                 "unit": "rtf",
-                "vs_baseline": round(rtf / BASELINE_RTF, 4),
+                "vs_baseline": round(headline / BASELINE_RTF, 4),
+                "aux": aux,
             }
         )
     )

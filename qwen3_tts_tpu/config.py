@@ -170,6 +170,21 @@ class Qwen3TTSConfig:
         return Qwen3TTSConfig()
 
     @staticmethod
+    def standard_1_7b() -> "Qwen3TTSConfig":
+        """1.7B-class dims (the reference ships 1.7B checkpoints,
+        README.md:168-176; their config.json carries the dims — this preset
+        mirrors the published Qwen3-TTS-12Hz-1.7B layout: 2048 hidden /
+        6144 intermediate talker over the same 28-layer GQA structure, with
+        the 1024-hidden code predictor reached through
+        small_to_mtp_projection)."""
+        return Qwen3TTSConfig(
+            hidden_size=2048,
+            intermediate_size=6144,
+            text_hidden_size=2048,
+            code_predictor_config=CodePredictorConfig(),
+        )
+
+    @staticmethod
     def from_json(text_or_dict: str | Mapping[str, Any]) -> "Qwen3TTSConfig":
         raw: Mapping[str, Any]
         if isinstance(text_or_dict, str):

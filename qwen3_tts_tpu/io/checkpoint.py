@@ -145,6 +145,22 @@ def _embed_dense(w: dict, prefix: str, settings: QuantizationSettings, dtype) ->
     return np.asarray(weight, dtype)
 
 
+def _embed_entry(
+    w: dict, prefix: str, settings: QuantizationSettings, dtype, keep_packed: bool
+) -> dict:
+    """Embedding table entry: packed storage is KEPT on the quantized path
+    (ops/linear.py embedding_lookup gather-dequantizes rows — the reference's
+    quantized-Embedding memory model, Qwen3TTSPipeline.swift:961-980), else
+    dequantized to dense."""
+    weight = w[f"{prefix}.weight"]
+    if keep_packed and weight.dtype == np.uint32 and f"{prefix}.scales" in w:
+        entry = {"wq": weight, "scales": np.asarray(w[f"{prefix}.scales"], dtype)}
+        if f"{prefix}.biases" in w:
+            entry["biases"] = np.asarray(w[f"{prefix}.biases"], dtype)
+        return entry
+    return {"w": _embed_dense(w, prefix, settings, dtype)}
+
+
 def load_talker_checkpoint(
     weights: dict, config: Qwen3TTSConfig, dtype=np.float32
 ) -> tuple[dict, dict]:
@@ -184,9 +200,14 @@ def load_talker_checkpoint(
         return entry
     norm = lambda p: {"w": np.asarray(w[f"{p}.weight"], dtype)}  # noqa: E731
 
+    keep_packed = config.quantization is not None
     params = {
-        "text_embedding": {"w": _embed_dense(w, "text_embedding", settings, dtype)},
-        "codec_embedding": {"w": _embed_dense(w, "codec_embedding", settings, dtype)},
+        "text_embedding": _embed_entry(
+            w, "text_embedding", settings, dtype, keep_packed
+        ),
+        "codec_embedding": _embed_entry(
+            w, "codec_embedding", settings, dtype, keep_packed
+        ),
         "text_projection": {
             "fc1": lin("text_projection.linear_fc1"),
             "fc2": lin("text_projection.linear_fc2"),
@@ -225,22 +246,23 @@ def load_talker_checkpoint(
         return _stack([builder(path_fmt.format(i=i)) for i in range(ncl)])
 
     cp_params = {
-        "codec_embedding": {
-            "w": np.stack(
-                [
-                    _embed_dense(w, f"code_predictor.codec_embedding.{i}", settings, dtype)
-                    for i in range(ng)
-                ]
-            )
-        },
-        "lm_head": {
-            "w": np.stack(
-                [
-                    _embed_dense(w, f"code_predictor.lm_head.{i}", settings, dtype)
-                    for i in range(ng)
-                ]
-            )
-        },
+        "codec_embedding": _stack(
+            [
+                _embed_entry(
+                    w, f"code_predictor.codec_embedding.{i}", settings, dtype,
+                    keep_packed,
+                )
+                for i in range(ng)
+            ]
+        ),
+        "lm_head": _stack(
+            [
+                _embed_entry(
+                    w, f"code_predictor.lm_head.{i}", settings, dtype, keep_packed
+                )
+                for i in range(ng)
+            ]
+        ),
         "norm": norm("code_predictor.norm"),
         "layers": {
             "input_layernorm": cp_layer_field(

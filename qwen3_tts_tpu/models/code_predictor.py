@@ -17,6 +17,7 @@ import jax.numpy as jnp
 
 from ..config import CodePredictorConfig
 from ..ops.attention import gqa_attention_full
+from ..ops import linear as linear_ops
 from ..ops.linear import linear
 from ..ops.norms import rms_norm
 from ..ops import rope as rope_ops
@@ -188,8 +189,13 @@ def predict_frame(
     cache_k = jnp.zeros(cache_shape, dtype)
     cache_v = jnp.zeros(cache_shape, dtype)
 
-    emb_tables = params["codec_embedding"]["w"]  # [ng, V, H_t]
-    head_tables = params["lm_head"]["w"]         # [ng, V, Hc]
+    emb_tables = params["codec_embedding"]  # stacked [ng, V, H_t] (any storage)
+    head_tables = params["lm_head"]         # stacked [ng, V, Hc]
+
+    def emb_row(k_idx, code):
+        return linear_ops.table_row(emb_tables, k_idx, code, dtype)[
+            None, None, :
+        ]
 
     # Iteration 0: two tokens [code_hidden, code0_embed]
     x0 = jnp.concatenate([code_hidden, code0_embed], axis=1)
@@ -198,9 +204,9 @@ def predict_frame(
     )
 
     def sample_group(k_group, h_last_g, key_g, seen):
-        logits = (h_last_g[:, 0, :] @ head_tables[k_group].T.astype(dtype)).astype(
-            jnp.float32
-        )[0]
+        logits = linear_ops.table_matmul(
+            head_tables, k_group, h_last_g[:, 0, :]
+        ).astype(jnp.float32)[0]
         seen_row = seen[k_group] if seen is not None else None
         return sample_token(
             logits, key_g, temperature,
@@ -215,18 +221,18 @@ def predict_frame(
         seen_cp = seen_cp.at[0, code1].set(True)
 
     codes0 = jnp.zeros((ng,), jnp.int32).at[0].set(code1)
-    embed_sum0 = code0_embed + emb_tables[0][code1][None, None, :].astype(dtype)
+    embed_sum0 = code0_embed + emb_row(jnp.int32(0), code1)
 
     def body(k_idx, carry):
         codes, embed_sum, ck, cv, seen = carry
         prev_code = codes[k_idx - 1]
-        x = emb_tables[k_idx - 1][prev_code][None, None, :].astype(dtype)
+        x = emb_row(k_idx - 1, prev_code)
         h_last_k, ck, cv = _cp_forward(
             params, x, ck, cv, (k_idx + 1).astype(jnp.int32), config
         )
         code_k = sample_group(k_idx, h_last_k, group_keys[k_idx], seen if track else None)
         codes = codes.at[k_idx].set(code_k)
-        embed_sum = embed_sum + emb_tables[k_idx][code_k][None, None, :].astype(dtype)
+        embed_sum = embed_sum + emb_row(k_idx, code_k)
         if track:
             seen = seen.at[k_idx, code_k].set(True)
         return codes, embed_sum, ck, cv, seen

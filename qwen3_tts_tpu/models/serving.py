@@ -128,8 +128,15 @@ def predict_frame_batched(
     ck = jnp.zeros(cache_shape, dtype)
     cv = jnp.zeros(cache_shape, dtype)
 
-    emb_tables = cp_params["codec_embedding"]["w"]
-    head_tables = cp_params["lm_head"]["w"]
+    from ..ops import linear as linear_ops
+
+    emb_tables = cp_params["codec_embedding"]  # stacked (any storage)
+    head_tables = cp_params["lm_head"]
+
+    def emb_rows(k_idx, codes_b):
+        return linear_ops.table_row(emb_tables, k_idx, codes_b, dtype)[
+            :, None, :
+        ]
 
     x0 = jnp.concatenate([code_hidden, code0_embed], axis=1)
     h_last, ck, cv = cp_mod._cp_forward(cp_params, x0, ck, cv, jnp.int32(0), config)
@@ -139,9 +146,8 @@ def predict_frame_batched(
     )
 
     def sample_group(k_idx, h_last_g, group_keys):
-        logits = jnp.einsum(
-            "bh,vh->bv", h_last_g[:, 0, :].astype(jnp.float32),
-            head_tables[k_idx].astype(jnp.float32),
+        logits = linear_ops.table_matmul(
+            head_tables, k_idx, h_last_g[:, 0, :].astype(jnp.float32)
         )
         return sample_b(logits, group_keys)
 
@@ -149,18 +155,18 @@ def predict_frame_batched(
 
     code1 = sample_group(jnp.int32(0), h_last, all_keys[:, 0])
     codes0 = jnp.zeros((b, ng), jnp.int32).at[:, 0].set(code1)
-    embed_sum0 = code0_embed + emb_tables[0][code1][:, None, :].astype(dtype)
+    embed_sum0 = code0_embed + emb_rows(jnp.int32(0), code1)
 
     def body(k_idx, carry):
         codes, embed_sum, ck, cv = carry
         prev = codes[:, k_idx - 1]
-        x = emb_tables[k_idx - 1][prev][:, None, :].astype(dtype)
+        x = emb_rows(k_idx - 1, prev)
         h_k, ck, cv = cp_mod._cp_forward(
             cp_params, x, ck, cv, (k_idx + 1).astype(jnp.int32), config
         )
         code_k = sample_group(k_idx, h_k, all_keys[:, k_idx])
         codes = codes.at[:, k_idx].set(code_k)
-        embed_sum = embed_sum + emb_tables[k_idx][code_k][:, None, :].astype(dtype)
+        embed_sum = embed_sum + emb_rows(k_idx, code_k)
         return codes, embed_sum, ck, cv
 
     codes, embed_sum, ck, cv = jax.lax.fori_loop(

@@ -98,14 +98,22 @@ def text_projection(params: dict, x: jax.Array) -> jax.Array:
 
 
 def encode_text(params: dict, ids: jax.Array) -> jax.Array:
-    """text_embedding -> text_projection (reference Qwen3Talker.swift:103-106)."""
-    emb = jnp.take(params["text_embedding"]["w"], ids, axis=0)
+    """text_embedding -> text_projection (reference Qwen3Talker.swift:103-106).
+    Quantized tables (runtime or pre-quantized checkpoints) gather-dequantize
+    just the requested rows."""
+    from ..ops.linear import embedding_lookup
+
+    dtype = params["norm"]["w"].dtype
+    emb = embedding_lookup(params["text_embedding"], ids, dtype=dtype)
     return text_projection(params, emb)
 
 
 def encode_audio(params: dict, ids: jax.Array) -> jax.Array:
     """codec_embedding lookup (reference Qwen3Talker.swift:108-110)."""
-    return jnp.take(params["codec_embedding"]["w"], ids, axis=0)
+    from ..ops.linear import embedding_lookup
+
+    dtype = params["norm"]["w"].dtype
+    return embedding_lookup(params["codec_embedding"], ids, dtype=dtype)
 
 
 def codec_head(params: dict, h: jax.Array) -> jax.Array:

@@ -25,6 +25,30 @@ def _quant_meta(params: dict, in_dim: int) -> tuple[int, int]:
     return bits, group_size
 
 
+_VALID_BITS = (2, 3, 4, 6, 8)
+
+
+def derive_packed_dims(entry: dict) -> tuple[int, int, int]:
+    """(bits, group_size, in_dim) for a packed entry WITHOUT knowing the row
+    width. words = in_dim*bits/32 and groups = in_dim/gs admit multiple
+    solutions (e.g. 4-bit/g64 vs 8-bit/g32), so candidate group sizes are
+    tried in order of prevalence — 64 first, the MLX/reference default
+    (QuantizedLayerFactory.swift:6-43). Callers that know in_dim should use
+    embedding_lookup_quant(..., in_dim=...) instead."""
+    words = entry["wq"].shape[-1]
+    groups = entry["scales"].shape[-1]
+    for gs in (64, 32, 128, 16, 256):
+        in_dim = groups * gs
+        if in_dim == 0 or (words * 32) % in_dim:
+            continue
+        bits = words * 32 // in_dim
+        if bits in _VALID_BITS:
+            return bits, gs, in_dim
+    raise ValueError(
+        f"cannot derive packed dims from words={words}, groups={groups}"
+    )
+
+
 def linear(params: dict, x: jax.Array) -> jax.Array:
     """y = x @ W.T (+ b). Quantized weights go through the Pallas TPU kernel
     (ops/pallas/quant_matmul) for word-aligned bit widths, else an inline
@@ -52,18 +76,96 @@ def linear(params: dict, x: jax.Array) -> jax.Array:
 
 
 def embedding_lookup(params: dict, ids: jax.Array, dtype=None) -> jax.Array:
-    """Embedding table lookup; supports a quantized table ({"wq", "scales",
-    "biases"}) by gathering packed rows and dequantizing just those rows."""
+    """Embedding table lookup over dense ({"w"}), bit-packed ({"wq","scales"
+    [,"biases"]}) or int8 ({"w8","scales","biases"}) storage. Quantized tables
+    gather only the requested rows and dequantize those — the memory-parity
+    path for the reference's runtime Embedding quantization
+    (Qwen3TTSPipeline.swift:961-980)."""
     if "wq" in params:
-        # bits/group can't be derived from the table shapes alone (no x.shape);
-        # callers with quantized tables must pass the row width explicitly.
-        raise NotImplementedError(
-            "quantized embedding lookup requires explicit dims; "
-            "use embedding_lookup_quant instead"
-        )
+        _, _, in_dim = derive_packed_dims(params)
+        return embedding_lookup_quant(params, ids, in_dim, dtype=dtype)
+    if "w8" in params:
+        rows = jnp.take(params["w8"], ids, axis=0)
+        scales = jnp.take(params["scales"], ids, axis=0)
+        biases = jnp.take(params["biases"], ids, axis=0)
+        in_dim = params["w8"].shape[-1]
+        groups = params["scales"].shape[-1]
+        gsize = in_dim // groups
+        r = rows.astype(jnp.float32).reshape(*rows.shape[:-1], groups, gsize)
+        out = r * scales.astype(jnp.float32)[..., None] + biases.astype(
+            jnp.float32
+        )[..., None]
+        out = out.reshape(*rows.shape[:-1], in_dim)
+        return out.astype(dtype) if dtype is not None else out
     table = params["w"]
     out = jnp.take(table, ids, axis=0)
     return out.astype(dtype) if dtype is not None else out
+
+
+def table_row(entry: dict, k_idx, code, dtype=None) -> jax.Array:
+    """Row `code` of table `k_idx` in a STACKED table set ([ng, V, D] dense,
+    or its packed/int8 equivalent). Used by the code predictor's per-group
+    codec embeddings (reference Qwen3CodePredictor.swift:59-64)."""
+    if "w" in entry:
+        row = jnp.asarray(entry["w"])[k_idx, code]
+        return row.astype(dtype) if dtype is not None else row
+    if "w8" in entry:
+        in_dim = entry["w8"].shape[-1]
+        groups = entry["scales"].shape[-1]
+        g = in_dim // groups
+        lead = jnp.shape(jnp.asarray(code))
+        rows8 = jnp.asarray(entry["w8"])[k_idx, code].astype(jnp.float32)
+        rows8 = rows8.reshape(-1, groups, g)
+        s = jnp.asarray(entry["scales"])[k_idx, code].astype(jnp.float32)
+        s = s.reshape(-1, groups)
+        b = jnp.asarray(entry["biases"])[k_idx, code].astype(jnp.float32)
+        b = b.reshape(-1, groups)
+        rows = (rows8 * s[..., None] + b[..., None]).reshape(*lead, in_dim)
+        return rows.astype(dtype) if dtype is not None else rows
+    bits, gs, in_dim = derive_packed_dims(entry)
+    lead = jnp.shape(jnp.asarray(code))  # () scalar or (B,) batched
+    packed = jnp.asarray(entry["wq"])[k_idx, code].reshape(-1, entry["wq"].shape[-1])
+    scales = jnp.asarray(entry["scales"])[k_idx, code].reshape(
+        -1, entry["scales"].shape[-1]
+    )
+    biases = (
+        jnp.asarray(entry["biases"])[k_idx, code].reshape(
+            -1, entry["biases"].shape[-1]
+        )
+        if "biases" in entry
+        else None
+    )
+    rows = dequantize_jnp(
+        packed, scales, biases, bits, gs, dtype=dtype or jnp.float32
+    )
+    return rows.reshape(*lead, in_dim)
+
+
+def table_matmul(entry: dict, k_idx, x: jax.Array) -> jax.Array:
+    """x @ table[k_idx].T for a stacked table set (the code predictor's
+    per-group lm_heads, reference Qwen3CodePredictor.swift:66-71). Quantized
+    tables dequantize inline (XLA fuses into the matmul operand)."""
+    if "w" in entry:
+        return x @ jnp.asarray(entry["w"])[k_idx].T.astype(x.dtype)
+    if "w8" in entry:
+        w8 = jnp.asarray(entry["w8"])[k_idx].astype(x.dtype)
+        in_dim = entry["w8"].shape[-1]
+        groups = entry["scales"].shape[-1]
+        g = in_dim // groups
+        v = w8.shape[0]
+        w = w8.reshape(v, groups, g) * jnp.asarray(entry["scales"])[
+            k_idx
+        ].astype(x.dtype)[..., None] + jnp.asarray(entry["biases"])[
+            k_idx
+        ].astype(x.dtype)[..., None]
+        return x @ w.reshape(v, in_dim).T
+    bits, gs, in_dim = derive_packed_dims(entry)
+    w = dequantize_jnp(
+        jnp.asarray(entry["wq"])[k_idx], jnp.asarray(entry["scales"])[k_idx],
+        jnp.asarray(entry["biases"])[k_idx] if "biases" in entry else None,
+        bits, gs, dtype=x.dtype,
+    )
+    return x @ w.T
 
 
 def embedding_lookup_quant(

@@ -46,6 +46,51 @@ from .. import rope as rope_ops
 M_PAD = 32  # int8 MXU sublane tile; row 0 carries the token, rows 1.. stay 0
 
 
+def dense_entry_np(entry: dict) -> np.ndarray:
+    """Materialize a linear/table entry as a dense float32 numpy weight.
+    Accepts dense ("w"), bit-packed ("wq"), and int8 ("w8") storage — kernel
+    builders re-quantize to the W8A8 format from whatever the checkpoint
+    carried (pre-quantized checkpoints go packed -> dense -> per-row int8)."""
+    if "w" in entry:
+        return np.asarray(jax.device_get(entry["w"]), np.float32)
+    if "w8" in entry:
+        w8 = np.asarray(jax.device_get(entry["w8"]), np.float32)
+        scales = np.asarray(jax.device_get(entry["scales"]), np.float32)
+        biases = np.asarray(jax.device_get(entry["biases"]), np.float32)
+        in_dim = w8.shape[-1]
+        g = in_dim // scales.shape[-1]
+        r = w8.reshape(*w8.shape[:-1], scales.shape[-1], g)
+        return (r * scales[..., None] + biases[..., None]).reshape(w8.shape)
+    from ..linear import derive_packed_dims
+    from ..quant import dequantize_np
+
+    bits, gs, in_dim = derive_packed_dims(entry)
+    wq = np.asarray(jax.device_get(entry["wq"]))
+    scales = np.asarray(jax.device_get(entry["scales"]), np.float32)
+    biases = (
+        np.asarray(jax.device_get(entry["biases"]), np.float32)
+        if "biases" in entry
+        else None
+    )
+    lead = wq.shape[:-2]
+    flat_wq = wq.reshape(-1, *wq.shape[-2:])
+    flat_s = scales.reshape(-1, *scales.shape[-2:])
+    flat_b = (
+        biases.reshape(-1, *biases.shape[-2:]) if biases is not None else None
+    )
+    dense = np.stack(
+        [
+            dequantize_np(
+                flat_wq[i], flat_s[i],
+                flat_b[i] if flat_b is not None else None,
+                bits=bits, group_size=gs,
+            )
+            for i in range(flat_wq.shape[0])
+        ]
+    )
+    return dense.reshape(*lead, *dense.shape[-2:]).astype(np.float32)
+
+
 # ---------------------------------------------------------------------------
 # In-kernel helpers (operate on VALUES; shapes static)
 # ---------------------------------------------------------------------------
@@ -313,24 +358,29 @@ def build_cp_kernel_params(cp_params: dict, config) -> dict:
     hc = config.hidden_size
     lay = cp_params["layers"]
 
+    def rw(entry_or_w):  # rowwise int8 over the last two axes; keep leading axes
+        w = (
+            dense_entry_np(entry_or_w)
+            if isinstance(entry_or_w, dict)
+            else np.asarray(jax.device_get(entry_or_w), np.float32)
+        )
+        q, s, m = quantize_rowwise_int8_np(w)
+        return q, s[..., None, :].astype(np.float32), m[..., None, :].astype(np.float32)
+
     def to_np(a):
         return np.asarray(jax.device_get(a), np.float32)
 
-    def rw(w):  # rowwise int8 over the last two axes; keep leading axes
-        q, s, m = quantize_rowwise_int8_np(to_np(w))
-        return q, s[..., None, :].astype(np.float32), m[..., None, :].astype(np.float32)
+    qkv_q, qkv_s, qkv_m = rw(lay["qkv_proj"])
+    o_q, o_s, o_m = rw(lay["o_proj"])
+    gu_q, gu_s, gu_m = rw(lay["gateup_proj"])
+    dn_q, dn_s, dn_m = rw(lay["down_proj"])
 
-    qkv_q, qkv_s, qkv_m = rw(lay["qkv_proj"]["w"])
-    o_q, o_s, o_m = rw(lay["o_proj"]["w"])
-    gu_q, gu_s, gu_m = rw(lay["gateup_proj"]["w"])
-    dn_q, dn_s, dn_m = rw(lay["down_proj"]["w"])
-
-    emb_raw = to_np(cp_params["codec_embedding"]["w"])  # (ng, V, th)
-    head = to_np(cp_params["lm_head"]["w"])             # (ng, V, hc)
+    emb_raw = dense_entry_np(cp_params["codec_embedding"])  # (ng, V, th)
+    head = dense_entry_np(cp_params["lm_head"])             # (ng, V, hc)
 
     proj = cp_params.get("small_to_mtp_projection")
     if proj is not None:
-        wp = to_np(proj["w"])  # (hc, th)
+        wp = dense_entry_np(proj)  # (hc, th)
         bp = to_np(proj["b"]) if "b" in proj else np.zeros((hc,), np.float32)
         emb_in = emb_raw @ wp.T + bp
     else:

@@ -199,27 +199,29 @@ def build_talker_kernel_params_device(params: dict, config) -> dict:
 
 
 def build_talker_kernel_params(params: dict, config) -> dict:
-    """Host (numpy) builder, for the pipeline load path."""
+    """Host (numpy) builder, for the pipeline load path. Accepts dense or
+    quantized (pre-quantized checkpoint) source entries."""
     from ..quant import quantize_rowwise_int8_np
+    from .cp_megakernel import dense_entry_np
 
     lay = params["layers"]
 
     def to_np(a):
         return np.asarray(a, np.float32)
 
-    def rw(w):
-        q, s, m = quantize_rowwise_int8_np(to_np(w))
+    def rw(entry):
+        q, s, m = quantize_rowwise_int8_np(dense_entry_np(entry))
         return (
             q,
             s[..., None, :].astype(np.float32),
             m[..., None, :].astype(np.float32),
         )
 
-    qkv_q, qkv_s, qkv_m = rw(lay["qkv_proj"]["w"])
-    o_q, o_s, o_m = rw(lay["o_proj"]["w"])
-    gu_q, gu_s, gu_m = rw(lay["gateup_proj"]["w"])
-    dn_q, dn_s, dn_m = rw(lay["down_proj"]["w"])
-    ch_q, ch_s, ch_m = rw(params["codec_head"]["w"])
+    qkv_q, qkv_s, qkv_m = rw(lay["qkv_proj"])
+    o_q, o_s, o_m = rw(lay["o_proj"])
+    gu_q, gu_s, gu_m = rw(lay["gateup_proj"])
+    dn_q, dn_s, dn_m = rw(lay["down_proj"])
+    ch_q, ch_s, ch_m = rw(params["codec_head"])
 
     def ln(w):
         return to_np(w)[:, None, :]
@@ -385,7 +387,9 @@ def _talker_kernel_call(
             pltpu.VMEM((M_PAD, nq * hd), jnp.float32),   # attn_s
         ],
         compiler_params=pltpu.CompilerParams(
-            vmem_limit_bytes=100 * 1024 * 1024,
+            # 1.7B layers double-buffer ~101 MB of int8 weight blocks; give
+            # Mosaic the full 128 MB v5e VMEM minus a small reserve
+            vmem_limit_bytes=127 * 1024 * 1024,
         ),
         interpret=pltpu.InterpretParams() if interpret else False,
     )(

@@ -270,6 +270,21 @@ def apply_mixed_quantization(
             if in_dim % group_size or (in_dim * bits) % 32:
                 continue
             out[name] = _quantize_linear_entry(out[name], bits, group_size, kernel_layout)
+    # Embedding tables and the cp's stacked codec_embedding/lm_head sets are
+    # quantized too (reference quantizes Embedding in applyMixedQuantization,
+    # Qwen3TTSPipeline.swift:961-980) — this is where the 4-bit memory parity
+    # lives (the 151936 x 2048 text table alone is ~600 MB in bf16). They are
+    # consumed via gather-dequant (ops/linear.py embedding_lookup/table_row),
+    # so no kernel layout is added.
+    for name in ("text_embedding", "codec_embedding", "lm_head"):
+        if name in out and "w" in out[name]:
+            bits = 6 if name in _SIX_BIT_NAMES else 4
+            in_dim = np.asarray(out[name]["w"]).shape[-1]
+            if in_dim % group_size or (in_dim * bits) % 32:
+                continue
+            out[name] = _quantize_linear_entry(
+                out[name], bits, group_size, kernel_layout=False
+            )
     return out
 
 
@@ -403,4 +418,11 @@ def apply_int8_quantization(
             if np.asarray(out[name]["w"]).shape[-1] % group_size:
                 continue
             out[name] = _quantize_int8_entry(out[name], group_size, kernel_layout)
+    for name in ("text_embedding", "codec_embedding", "lm_head"):
+        if name in out and "w" in out[name]:
+            if np.asarray(out[name]["w"]).shape[-1] % group_size:
+                continue
+            out[name] = _quantize_int8_entry(
+                out[name], group_size, kernel_layout=False
+            )
     return out

@@ -29,13 +29,29 @@ params, cp_params, voc_params = device_init(jax.random.PRNGKey(0))
 jax.block_until_ready(voc_params)
 print(f"device init: {time.perf_counter()-t0:.1f}s", flush=True)
 
+# attach the W8A8 mega-kernels (the default TPU decode path) unless "nokernel"
+if "nokernel" not in sys.argv:
+    from qwen3_tts_tpu.ops.pallas.cp_megakernel import build_cp_kernel_params_device
+    from qwen3_tts_tpu.ops.pallas.talker_megakernel import (
+        build_talker_kernel_params_device,
+    )
+
+    cp_params = dict(cp_params)
+    cp_params["kernel"] = build_cp_kernel_params_device(
+        cp_params, config.code_predictor_config
+    )
+    params = dict(params)
+    params["kernel"] = build_talker_kernel_params_device(params, config)
+    jax.block_until_ready((params["kernel"], cp_params["kernel"]))
+    print("mega-kernels attached", flush=True)
+
 pd = prompt_mod.assemble_prompt(params, config, FakeByteTokenizer(),
     "Time to first audio chunk measurement sentence.", speaker="aiden")
 p = int(pd.input_embeds.shape[1]); t = int(pd.trailing_hidden.shape[1])
 pb = gen_mod.pick_bucket(p); tb = gen_mod.pick_bucket(t, gen_mod.TRAILING_BUCKETS)
 embeds = jnp.zeros((1, pb, config.hidden_size), dtype).at[:, :p].set(pd.input_embeds)
 trailing = jnp.zeros((1, tb, config.hidden_size), dtype).at[:, :t].set(pd.trailing_hidden)
-FIRST_CHUNK = 18  # the streaming decode batch (reference DECODE_CHUNK_SIZE)
+FIRST_CHUNK = int(sys.argv[1]) if len(sys.argv) > 1 and sys.argv[1].isdigit() else 18
 statics = gen_mod.GenStatics(config=config, capacity=pb + gen_mod.RING_SLACK,
                              chunk_steps=FIRST_CHUNK, track_cp_penalty=False)
 temp = jnp.float32(0.9)
