@@ -119,19 +119,64 @@ def _fuse_out(*entries: dict) -> dict:
     separate matmuls; works for dense ("w"), packed ("wq"/"scales"/"biases"/
     "wq_kl" — rows are packed independently), and biases ("b")."""
     keys = entries[0].keys()
-    for e in entries[1:]:
-        if e.keys() != keys:
-            raise ValueError(
-                "cannot fuse linears with mismatched structures "
-                f"({sorted(keys)} vs {sorted(e.keys())})"
+    mismatched = any(e.keys() != keys for e in entries[1:]) or any(
+        np.asarray(e[k]).shape[1:] != np.asarray(entries[0][k]).shape[1:]
+        for e in entries[1:]
+        for k in (keys & e.keys())
+        if k != "b"
+    )
+    if mismatched:
+        # q/k/v (or gate/up) quantized at different widths: fuse their exact
+        # dequantized values instead (see _stack on heterogeneous layers)
+        out = {
+            "w": np.concatenate(
+                [_entry_dense(e, np.float32) for e in entries], axis=0
             )
+        }
+        if all("b" in e for e in entries):
+            out["b"] = np.concatenate(
+                [np.asarray(e["b"], np.float32) for e in entries], axis=0
+            )
+        return out
     return {k: np.concatenate([e[k] for e in entries], axis=0) for k in keys}
 
 
-def _stack(entries: list[dict]) -> dict:
-    """Stack a list of homogeneous param dicts on a new leading axis."""
+def _entry_dense(entry: dict, dtype) -> np.ndarray:
+    """Materialize one linear/table entry as a dense weight. Packed entries
+    derive their (bits, group) from the shapes (ops/linear.py heuristic)."""
+    if "w" in entry:
+        return np.asarray(entry["w"], dtype)
+    from ..ops.linear import derive_packed_dims
+
+    bits, gs, _ = derive_packed_dims(entry)
+    return dequantize_np(
+        entry["wq"], entry["scales"], entry.get("biases"),
+        bits=bits, group_size=gs, dtype=dtype,
+    )
+
+
+def _stack(entries: list[dict], dtype=np.float32) -> dict:
+    """Stack a list of param dicts on a new leading axis.
+
+    Homogeneous entries stack as-is (dense or packed). HETEROGENEOUS entries —
+    e.g. a checkpoint quantizing layer 0's qkv at 6 bits and layer 5's at 4
+    (the reference loads these because every layer is its own module,
+    Qwen3Talker.swift:141-175) — are dequantized to a dense stack: exact
+    values, at the cost of dense storage for that field (the TPU decode path
+    re-quantizes into the W8A8 mega-kernels regardless)."""
     keys = entries[0].keys()
-    return {k: np.stack([e[k] for e in entries]) for k in keys}
+    homogeneous = all(e.keys() == keys for e in entries) and all(
+        np.asarray(e[k]).shape == np.asarray(entries[0][k]).shape
+        and np.asarray(e[k]).dtype == np.asarray(entries[0][k]).dtype
+        for e in entries
+        for k in keys
+    )
+    if homogeneous:
+        return {k: np.stack([e[k] for e in entries]) for k in keys}
+    out = {"w": np.stack([_entry_dense(e, dtype) for e in entries])}
+    if all("b" in e for e in entries):
+        out["b"] = np.stack([np.asarray(e["b"], dtype) for e in entries])
+    return out
 
 
 def _embed_dense(w: dict, prefix: str, settings: QuantizationSettings, dtype) -> np.ndarray:

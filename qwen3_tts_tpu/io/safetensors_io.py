@@ -37,6 +37,21 @@ _DTYPES = {
 _DTYPE_NAMES = {np.dtype(v): k for k, v in _DTYPES.items()}
 
 
+def load_header(path: str) -> dict[str, tuple[str, tuple[int, ...]]]:
+    """Read only the safetensors header: {name: (dtype_str, shape)}.
+
+    Used by the checkpoint audit tool (io/audit.py) — layout validation never
+    needs the tensor bytes."""
+    with open(path, "rb") as f:
+        header_len = struct.unpack("<Q", f.read(8))[0]
+        header = json.loads(f.read(header_len).decode("utf-8"))
+    return {
+        name: (info["dtype"], tuple(info["shape"]))
+        for name, info in header.items()
+        if name != "__metadata__"
+    }
+
+
 def load_file(path: str) -> dict[str, np.ndarray]:
     """Load all tensors from a .safetensors file as numpy arrays.
 

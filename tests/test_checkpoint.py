@@ -125,6 +125,76 @@ def test_prequantized_checkpoint_keeps_packed():
     assert loaded["layers"]["qkv_proj"]["wq"].shape[0] == config.num_hidden_layers
 
 
+def test_heterogeneous_per_layer_quantization_loads():
+    """Per-layer MIXED quantization (layer 0 qkv at 4-bit, layer 1 at 8-bit)
+    loads via exact dense materialization — the reference loads these because
+    each layer is its own module (Qwen3Talker.swift:141-175)."""
+    from qwen3_tts_tpu.ops.quant import dequantize_np
+
+    config = tiny_talker_config(
+        quantization=QuantizationSettings(enabled=True, bits=4, group_size=64)
+    )
+    params = talker_mod.init_talker_params(config, jax.random.PRNGKey(0))
+    cp_params = cp_mod.init_cp_params(
+        config.code_predictor_config, config.hidden_size, jax.random.PRNGKey(1)
+    )
+    weights = export_talker_checkpoint(params, cp_params, config)
+    expected = {}
+    for i, bits in enumerate([4, 8][: config.num_hidden_layers]):
+        for name in ("q_proj", "k_proj", "v_proj"):
+            k = f"talker.model.layers.{i}.self_attn.{name}.weight"
+            p, s, b = quantize_np(np.asarray(weights[k], np.float32), bits, 64)
+            weights[k] = p
+            weights[k.replace(".weight", ".scales")] = s
+            weights[k.replace(".weight", ".biases")] = b
+            expected[(i, name)] = dequantize_np(p, s, b, bits, 64)
+    loaded, _ = ckpt.load_talker_checkpoint(weights, config)
+    qkv = loaded["layers"]["qkv_proj"]
+    assert "w" in qkv and "wq" not in qkv  # dense materialization
+    nq = config.num_attention_heads * config.head_dim
+    nkv = config.num_key_value_heads * config.head_dim
+    for i in (0, 1):
+        np.testing.assert_allclose(
+            np.asarray(qkv["w"][i][:nq]), expected[(i, "q_proj")],
+            rtol=1e-5, atol=1e-6,
+        )
+        np.testing.assert_allclose(
+            np.asarray(qkv["w"][i][nq:nq + nkv]), expected[(i, "k_proj")],
+            rtol=1e-5, atol=1e-6,
+        )
+
+
+def test_mixed_quantization_within_layer_fuses_dense():
+    """q at 4-bit, k dense, v at 8-bit within ONE layer -> exact dense fuse."""
+    config = tiny_talker_config(
+        quantization=QuantizationSettings(enabled=True, bits=4, group_size=64)
+    )
+    params = talker_mod.init_talker_params(config, jax.random.PRNGKey(2))
+    cp_params = cp_mod.init_cp_params(
+        config.code_predictor_config, config.hidden_size, jax.random.PRNGKey(3)
+    )
+    weights = export_talker_checkpoint(params, cp_params, config)
+    for name, bits in (("q_proj", 4), ("v_proj", 8)):
+        for i in range(config.num_hidden_layers):
+            k = f"talker.model.layers.{i}.self_attn.{name}.weight"
+            p, s, b = quantize_np(np.asarray(weights[k], np.float32), bits, 64)
+            weights[k] = p
+            weights[k.replace(".weight", ".scales")] = s
+            weights[k.replace(".weight", ".biases")] = b
+    loaded, _ = ckpt.load_talker_checkpoint(weights, config)
+    qkv = loaded["layers"]["qkv_proj"]
+    assert "w" in qkv and "wq" not in qkv
+    # k_proj stayed dense in the checkpoint -> values exact
+    nq = config.num_attention_heads * config.head_dim
+    nkv = config.num_key_value_heads * config.head_dim
+    k_orig = np.asarray(
+        weights["talker.model.layers.0.self_attn.k_proj.weight"], np.float32
+    )
+    np.testing.assert_allclose(
+        np.asarray(qkv["w"][0][nq:nq + nkv]), k_orig, rtol=1e-5, atol=1e-6
+    )
+
+
 @pytest.mark.slow
 def test_vocoder_checkpoint_round_trip():
     cfg = tiny_decoder_config()
