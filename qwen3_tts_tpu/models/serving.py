@@ -571,6 +571,23 @@ def concat_states(states: list[dict]) -> dict:
     return out
 
 
+@jax.jit
+def parked_state(reference: dict) -> dict:
+    """A zero-cost single-slot state that is already at EOS. Padding slots in
+    a continuous batch use this instead of prefilling a dummy prompt: the
+    slot never emits (eos parks it) and its all-masked cache (pos = -1)
+    softmaxes over the uniform -1e30 floor — finite garbage that is never
+    read. Shares step/p_pad/tts_pad_embed with the reference state so
+    concat_states stays valid."""
+    z = jax.tree.map(jnp.zeros_like, reference)
+    z["cache"]["pos"] = jnp.full_like(reference["cache"]["pos"], -1)
+    z["eos"] = jnp.ones_like(reference["eos"])
+    z["step"] = reference["step"]
+    z["p_pad"] = reference["p_pad"]
+    z["tts_pad_embed"] = reference["tts_pad_embed"]
+    return z
+
+
 class ContinuousServer:
     """Host-side continuous-batching orchestrator: keeps B slots decoding in
     lockstep, drains finished utterances, and admits queued prompts into
@@ -643,8 +660,8 @@ class ContinuousServer:
         b = self.batch_size
         temp = jnp.float32(temperature)
 
-        # initial fill (reuse request 0's prompt for padding slots; their
-        # outputs are discarded)
+        # initial fill; padding slots get a parked (already-at-EOS) state
+        # instead of burning a prefill on a dummy prompt
         slot_req: list[int | None] = []
         states = []
         for slot in range(b):
@@ -654,7 +671,7 @@ class ContinuousServer:
                 states.append(self._prefill_one(prompt_datas[req], self._seed + req))
             else:
                 slot_req.append(None)
-                states.append(self._prefill_one(prompt_datas[0], self._seed - 1 - slot))
+                states.append(parked_state(states[0]))
         state = concat_states(states)
 
         while any(r is not None for r in slot_req):

@@ -303,14 +303,20 @@ def chunked_decode(
     *,
     chunk_size: int = 100,
     left_context: int = 10,
+    lengths: list[int] | None = None,
 ) -> np.ndarray:
     """Decode long code sequences in fixed-size overlapping chunks, batched on
     the batch axis, dropping the re-decoded left-context samples
     (reference chunkedDecode, SpeechTokenizer.swift:954-987).
 
     codes: [B, nq, T] -> waveform [B, T * total_upsample] float32. One jit
-    signature per (num_chunks x B, chunk+context) shape; chunk_size is fixed,
-    so long clips reuse the same compiled program.
+    signature per (rows, chunk+context) shape; chunk_size is fixed, so long
+    clips reuse the same compiled program.
+
+    `lengths` (per-stream valid frame counts) skips fully-dead (stream, chunk)
+    rows when streams are padded to a common T — a mixed-length batch then
+    costs ~its real frames, not B * T_max. The live row count is padded to a
+    multiple of 8 to bound the number of jit signatures.
     """
     codes = np.asarray(codes)
     b, nq, t = codes.shape
@@ -322,18 +328,29 @@ def chunked_decode(
     right_pad = num_chunks * chunk_size - t
     padded = np.pad(codes, ((0, 0), (0, 0), (left_context, right_pad)))
 
-    chunks = [
-        padded[:, :, i * chunk_size : i * chunk_size + chunk_size + left_context]
+    rows = [
+        (j, i)
         for i in range(num_chunks)
+        for j in range(b)
+        if lengths is None or i * chunk_size < lengths[j]
     ]
-    batch = np.concatenate(chunks, axis=0)  # [num_chunks*B, nq, chunk+ctx]
+    width = chunk_size + left_context
+    if lengths is None:
+        n_rows = len(rows)
+    else:
+        n_rows = -(-len(rows) // 8) * 8  # pad rows to a multiple of 8
+    batch = np.zeros((n_rows, nq, width), codes.dtype)
+    for r, (j, i) in enumerate(rows):
+        batch[r] = padded[j, :, i * chunk_size : i * chunk_size + width]
 
     wav = decode_frames_jit(params, jnp.asarray(batch), cfg)
     wav = np.asarray(wav)[:, left_context * total_up :]
 
-    # [num_chunks*B, S] -> [B, num_chunks*S] (chunk-major time order)
-    wav = wav.reshape(num_chunks, b, -1).transpose(1, 0, 2).reshape(b, -1)
-    return wav[:, : t * total_up]
+    out = np.zeros((b, num_chunks * chunk_size * total_up), np.float32)
+    s = chunk_size * total_up
+    for r, (j, i) in enumerate(rows):
+        out[j, i * s : (i + 1) * s] = wav[r]
+    return out[:, : t * total_up]
 
 
 def speech_tokenizer_decode(

@@ -473,6 +473,7 @@ class Qwen3TTSPipeline:
         wav = voc.chunked_decode(
             self.vocoder_params, codes, self.speech_config.decoder_config,
             chunk_size=chunk, left_context=ctx,
+            lengths=[len(v) for v in valid_list],  # skip dead padded chunks
         )
         for i, j in zip(keep, range(len(valid_list))):
             n = len(valid_list[j]) * self._samples_per_frame
