@@ -263,10 +263,19 @@ def _residual_unit(params: dict, x: jax.Array, dilation: int) -> jax.Array:
 
 
 def decode_frames(
-    params: dict, codes: jax.Array, cfg: TokenizerDecoderConfig
+    params: dict,
+    codes: jax.Array,
+    cfg: TokenizerDecoderConfig,
+    *,
+    kernel_compute_dtype=jnp.bfloat16,
+    kernel_interpret: bool = False,
 ) -> jax.Array:
     """Full vocoder decode: codes [B, nq, T] int32 -> waveform [B, T * total_upsample]
-    float32 in [-1, 1] (reference decodeImpl, SpeechTokenizer.swift:917-952)."""
+    float32 in [-1, 1] (reference decodeImpl, SpeechTokenizer.swift:917-952).
+
+    When params carries a "kernel" subtree (ops/pallas/vocoder_kernels.py,
+    built by build_vocoder_kernel_params) the four SEANet decoder blocks run
+    as one fused Pallas kernel each instead of ~17 XLA ops each."""
     h = rvq_decode(params["quantizer"], codes)            # [B, T, 512]
     h = causal_conv1d(params["pre_conv"], h)              # [B, T, 1024]
     h = pre_transformer(params["pre_transformer"], h, cfg)
@@ -276,11 +285,25 @@ def decode_frames(
         h = convnext_block(stage["convnext"], h)
 
     wav = left_pad_conv1d(params["decoder"]["initial_conv"], h)
-    for block, rate in zip(params["decoder"]["blocks"], cfg.upsample_rates):
-        wav = snake_beta(block["snake"], wav)
-        wav = causal_transpose_conv1d(block["up"], wav, stride=rate)
-        for unit, dil in zip(block["units"], (1, 3, 9)):
-            wav = _residual_unit(unit, wav, dil)
+    kernel = params.get("kernel")
+    if kernel is not None:
+        from ..ops.pallas.vocoder_kernels import seanet_block_fused
+
+        for kp, block, rate in zip(
+            kernel["blocks"], params["decoder"]["blocks"], cfg.upsample_rates
+        ):
+            wav = seanet_block_fused(
+                kp, wav, rate=rate,
+                cout=block["up"]["w"].shape[2],
+                compute_dtype=kernel_compute_dtype,
+                interpret=kernel_interpret,
+            )
+    else:
+        for block, rate in zip(params["decoder"]["blocks"], cfg.upsample_rates):
+            wav = snake_beta(block["snake"], wav)
+            wav = causal_transpose_conv1d(block["up"], wav, stride=rate)
+            for unit, dil in zip(block["units"], (1, 3, 9)):
+                wav = _residual_unit(unit, wav, dil)
     wav = snake_beta(params["decoder"]["out_snake"], wav)
     wav = left_pad_conv1d(params["decoder"]["out_conv"], wav)  # [B, S, 1]
     return jnp.clip(wav[..., 0].astype(jnp.float32), -1.0, 1.0)

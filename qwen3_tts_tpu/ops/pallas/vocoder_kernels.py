@@ -1,0 +1,304 @@
+"""Fused SEANet decoder-block path for the vocoder.
+
+Each decoder block (reference DecoderBlock, SpeechTokenizer.swift:753-784)
+is SnakeBeta -> causal transposed-conv upsample (stride r) -> three dilated
+residual units (d = 1, 3, 9). The SEANet tail dominates vocoder device time
+(scripts/exp_vocoder_profile.py): channel counts shrink to 96 while T grows
+to ~50k rows per 18-frame chunk, so in XLA each of the ~14 small ops per
+block pays a full HBM round-trip on a tensor that comfortably fits in VMEM.
+
+TPU-first split of the block:
+
+  * SnakeBeta + upsample run as TWO MXU matmuls in plain XLA: the causal
+    transposed conv (k=2r, stride r, right-trim r) decomposes by output
+    phase into out[t*r + p] = x[t] @ W_lo[p] + x[t-1] @ W_hi[p] with
+    W_lo/W_hi prebuilt [Cin, r*Cout]. The phase interleave
+    [B, T, r*Cout] -> [B, T*r, Cout] is a FREE contiguous reshape in HBM.
+    (Doing that reshape inside a Pallas kernel is an unsupported Mosaic
+    vector shape cast - it changes the lane dim - which is why the
+    interleave lives host-side and only the units are a kernel.)
+  * The three residual units run as ONE pallas_call: 4 SnakeBetas, three
+    7-tap dilated causal convs (each = 7 tap matmuls [W, C] @ [C, C]
+    accumulated in fp32 over a left-zero-padded window; snake(0) = 0 so
+    zero padding is exact), three 1x1 convs, residual adds - activation
+    stays VMEM-resident, HBM is touched once in / once out.
+
+Time is tiled: grid = (B, n_tiles); each program DMAs its input window
+(tile + H halo rows, H = 80 >= 78 = 6*(1+3+9), the receptive field of the
+unit chain) from HBM, computes the chain, and writes only the non-halo
+rows. The host pre-pads H zero rows at the front (causal-pad semantics);
+rows that lie before the sequence start are re-zeroed after every unit so
+their biases cannot leak into kept rows through later taps.
+
+SnakeBeta runs in fp32 with exp(alpha) / 1/(exp(beta)+eps) precomputed on
+the host; matmuls run in a configurable compute dtype (bf16 on TPU).
+
+Parity: matches the jnp path (ops/conv.py snake_beta /
+causal_transpose_conv1d / models/vocoder.py _residual_unit composition) to
+fp32 tolerance when compute_dtype=float32; tests/test_vocoder_kernel.py.
+"""
+
+from __future__ import annotations
+
+import functools
+import math
+
+import jax
+import jax.numpy as jnp
+import ml_dtypes
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+DILATIONS = (1, 3, 9)
+# receptive field of the unit chain, rounded up to the fp32 sublane tile
+# (8): the DMA window size tile+halo must be 8-row aligned for Mosaic
+_HALO = -(-sum(6 * d for d in DILATIONS) // 8) * 8  # 78 -> 80
+
+
+def _np32(x) -> np.ndarray:
+    return np.asarray(jax.device_get(x), np.float32)
+
+
+def build_seanet_block_kernel_params(
+    block: dict, rate: int, weight_dtype=np.float32
+) -> dict:
+    """Host-side transform of one decoder block's param subtree (see
+    models/vocoder.py init: {"snake", "up", "units"}) into the fused-path
+    layout. The large matmul weights are stored in `weight_dtype` (bf16 for
+    the TPU serving path; fp32 for exact-parity tests); snake params and
+    biases stay fp32. `jax.device_put` happens with the rest of the tree."""
+    w_up = _np32(block["up"]["w"])  # [2r, Cin, Cout], pre-flipped HIO
+    k, cin, cout = w_up.shape
+    assert k == 2 * rate, (k, rate)
+    # Mosaic requires the lane (channel) dim of the units kernel's HBM DMA
+    # window to be 128-aligned; blocks 2/3 have Cout = 192/96. Zero-pad the
+    # post-upsample channel dim to the next 128 multiple — exact, because
+    # snake(0) = 0 and zero weight rows/columns contribute nothing — folded
+    # into the upsample matmul columns so no XLA pad op touches the big
+    # activation; the caller slices [..., :Cout] back after the kernel.
+    cpad = -(-cout // 128) * 128
+
+    def padc(w, axes):
+        pads = [(0, 0)] * w.ndim
+        for ax in axes:
+            pads[ax] = (0, cpad - w.shape[ax])
+        return np.pad(w, pads)
+
+    # out[t*r + p] = x[t] @ w_up[2r-1-p] + x[t-1] @ w_up[r-1-p]
+    w_lo = np.concatenate(
+        [padc(w_up[2 * rate - 1 - p], (1,)) for p in range(rate)], axis=1
+    )
+    w_hi = np.concatenate(
+        [padc(w_up[rate - 1 - p], (1,)) for p in range(rate)], axis=1
+    )
+    w_lo = w_lo.astype(weight_dtype)  # [Cin, r*Cpad]
+    w_hi = w_hi.astype(weight_dtype)
+
+    def snake(p, pad=False):
+        a = np.exp(_np32(p["alpha"]))
+        binv = 1.0 / (np.exp(_np32(p["beta"])) + 1e-9)
+        if pad:
+            a, binv = padc(a, (0,)), padc(binv, (0,))
+        return a[None, :], binv[None, :]
+
+    a0, b0 = snake(block["snake"])
+    units = block["units"]
+    u_a1 = np.stack([snake(u["act1"], True)[0] for u in units])
+    u_binv1 = np.stack([snake(u["act1"], True)[1] for u in units])
+    u_a2 = np.stack([snake(u["act2"], True)[0] for u in units])
+    u_binv2 = np.stack([snake(u["act2"], True)[1] for u in units])
+    u_w1 = np.stack(
+        [padc(_np32(u["conv1"]["w"]), (1, 2)) for u in units]
+    ).astype(weight_dtype)  # [3, 7, Cpad, Cpad]
+    u_b1 = np.stack([padc(_np32(u["conv1"]["b"]), (0,))[None] for u in units])
+    u_w2 = np.stack(
+        [padc(_np32(u["conv2"]["w"])[0], (0, 1)) for u in units]
+    ).astype(weight_dtype)  # [3, Cpad, Cpad]
+    u_b2 = np.stack([padc(_np32(u["conv2"]["b"]), (0,))[None] for u in units])
+    return {
+        "snake_a": a0, "snake_binv": b0,
+        "w_lo": w_lo, "w_hi": w_hi,
+        "up_b": padc(_np32(block["up"]["b"]), (0,))[None],
+        "u_a1": u_a1, "u_binv1": u_binv1, "u_w1": u_w1, "u_b1": u_b1,
+        "u_a2": u_a2, "u_binv2": u_binv2, "u_w2": u_w2, "u_b2": u_b2,
+    }
+
+
+def _snake(x, a, binv):
+    s = jnp.sin(x * a)
+    return x + binv * (s * s)
+
+
+def _units_kernel(
+    u_a1, u_binv1, u_w1, u_b1, u_a2, u_binv2, u_w2, u_b2,
+    x_hbm, out_ref, xwin, sem,
+    *, tile: int, cd,
+):
+    b = pl.program_id(0)
+    i = pl.program_id(1)
+    w = tile + _HALO  # input window rows
+
+    copy = pltpu.make_async_copy(
+        x_hbm.at[b, pl.ds(i * tile, w), :], xwin, sem
+    )
+    copy.start()
+    copy.wait()
+
+    y = xwin[:].astype(jnp.float32)
+    c = u_w2.shape[-1]
+    # Window rows whose sequence position i*tile + row - HALO is negative
+    # lie BEFORE the sequence start: the host pads them with zeros, and they
+    # must STAY zero after every unit (in the reference, taps reaching
+    # before t=0 see the causal zero padding, not unit outputs whose biases
+    # make fabricated rows nonzero). For tile > HALO only tile 0 has such
+    # rows, but small forced tiles can leave them in later windows too.
+    row = jax.lax.broadcasted_iota(jnp.int32, (w, 1), 0)
+    valid = row >= jnp.maximum(_HALO - i * tile, 0)
+    y = jnp.where(valid, y, 0.0)
+
+    for u, dil in enumerate(DILATIONS):
+        h = _snake(y, u_a1[u], u_binv1[u]).astype(cd)
+        hp = jnp.concatenate([jnp.zeros((6 * dil, c), cd), h], axis=0)
+        conv = jnp.zeros((w, c), jnp.float32) + u_b1[u]
+        for k in range(7):
+            conv = conv + jax.lax.dot_general(
+                hp[k * dil : k * dil + w],
+                u_w1[u, k].astype(cd),
+                (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+        h2 = _snake(conv, u_a2[u], u_binv2[u]).astype(cd)
+        y = y + (
+            jax.lax.dot_general(
+                h2, u_w2[u].astype(cd), (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+            + u_b2[u]
+        )
+        y = jnp.where(valid, y, 0.0)
+
+    out_ref[0] = y[_HALO:].astype(out_ref.dtype)
+
+
+_UNIT_PARAMS = (
+    "u_a1", "u_binv1", "u_w1", "u_b1", "u_a2", "u_binv2", "u_w2", "u_b2",
+)
+
+
+def _pick_tile(c: int, weight_bytes: int) -> int:
+    """Output-tile rows, shrunk so unit weights + ~10 live fp32 activation
+    buffers + the input window stay inside an 80 MB working budget (leaves
+    ~48 MB of the 128 MB v5e VMEM for Mosaic spill slots and the
+    double-buffered output blocks)."""
+    budget = 80 * 2**20 - weight_bytes
+    per_row = 10 * c * 4
+    t = max(256, min(8192, budget // per_row))
+    return t // 8 * 8
+
+
+@functools.partial(
+    jax.jit, static_argnames=("compute_dtype", "tile", "interpret")
+)
+def residual_units_fused(
+    kp: dict,
+    y: jax.Array,
+    *,
+    compute_dtype=jnp.bfloat16,
+    tile: int | None = None,
+    interpret: bool = False,
+) -> jax.Array:
+    """Fused 3-unit chain: y [B, S, C] -> [B, S, C], one pallas_call."""
+    bsz, s, c = y.shape
+    weight_bytes = sum(
+        int(np.prod(kp[n].shape)) * jnp.dtype(kp[n].dtype).itemsize
+        for n in _UNIT_PARAMS
+    )
+    tt = tile or _pick_tile(c, weight_bytes)
+    n_tiles = -(-s // tt)
+    # front halo (causal zeros) + right pad to a tile multiple
+    yp = jnp.pad(y, ((0, 0), (_HALO, n_tiles * tt - s), (0, 0)))
+
+    kernel = functools.partial(_units_kernel, tile=tt, cd=compute_dtype)
+    out = pl.pallas_call(
+        kernel,
+        grid=(bsz, n_tiles),
+        in_specs=[
+            *(
+                pl.BlockSpec(
+                    kp[name].shape,
+                    # bind ndim now: a late-binding closure over `name` would
+                    # give every spec the LAST param's rank
+                    lambda b, i, _n=np.ndim(kp[name]): (0,) * _n,
+                    memory_space=pltpu.VMEM,
+                )
+                for name in _UNIT_PARAMS
+            ),
+            pl.BlockSpec(memory_space=pl.ANY),
+        ],
+        out_specs=pl.BlockSpec(
+            (1, tt, c), lambda b, i: (b, i, 0), memory_space=pltpu.VMEM
+        ),
+        out_shape=jax.ShapeDtypeStruct((bsz, n_tiles * tt, c), y.dtype),
+        scratch_shapes=[
+            pltpu.VMEM((tt + _HALO, c), y.dtype),
+            pltpu.SemaphoreType.DMA(()),
+        ],
+        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=127 * 2**20),
+        interpret=pltpu.InterpretParams() if interpret else False,
+    )(*(kp[name] for name in _UNIT_PARAMS), yp)
+    return out[:, :s]
+
+
+def seanet_block_fused(
+    kp: dict,
+    x: jax.Array,
+    *,
+    rate: int,
+    cout: int,
+    compute_dtype=jnp.bfloat16,
+    tile: int | None = None,
+    interpret: bool = False,
+) -> jax.Array:
+    """Fused decoder block: x [B, T, Cin] -> [B, T * rate, Cout].
+
+    `cout` is the TRUE output channel count (the kernel computes in a
+    128-aligned padded channel space; see build_seanet_block_kernel_params).
+
+    Numerically equivalent (fp32-tolerance at compute_dtype=float32) to:
+      snake_beta -> causal_transpose_conv1d(stride=rate) ->
+      _residual_unit(d=1) -> _residual_unit(d=3) -> _residual_unit(d=9)
+    """
+    bsz, t, _cin = x.shape
+    cpad = kp["u_w2"].shape[-1]
+    cd = compute_dtype
+    # SnakeBeta + phase-decomposed upsample: two MXU matmuls in plain XLA,
+    # then the FREE interleave reshape [B, T, r*Cout] -> [B, T*r, Cout].
+    xs = _snake(x.astype(jnp.float32), kp["snake_a"], kp["snake_binv"])
+    xs = xs.astype(cd)
+    prev = jnp.concatenate([jnp.zeros_like(xs[:, :1]), xs[:, :-1]], axis=1)
+    dn = (((2,), (0,)), ((), ()))
+    acc = jax.lax.dot_general(
+        xs, kp["w_lo"].astype(cd), dn, preferred_element_type=jnp.float32
+    ) + jax.lax.dot_general(
+        prev, kp["w_hi"].astype(cd), dn, preferred_element_type=jnp.float32
+    )
+    y = acc.reshape(bsz, t * rate, cpad) + kp["up_b"][0]
+    y = y.astype(x.dtype)
+    y = residual_units_fused(
+        kp, y, compute_dtype=compute_dtype, tile=tile, interpret=interpret
+    )
+    return y[..., :cout]
+
+
+def build_vocoder_kernel_params(
+    params: dict, cfg, weight_dtype=ml_dtypes.bfloat16
+) -> dict:
+    """Kernel param subtree for all four decoder blocks; store under
+    params["kernel"] to enable the fused path in models/vocoder.py."""
+    return {
+        "blocks": [
+            build_seanet_block_kernel_params(block, rate, weight_dtype)
+            for block, rate in zip(params["decoder"]["blocks"], cfg.upsample_rates)
+        ]
+    }

@@ -78,6 +78,10 @@ class Qwen3TTSPipelineConfiguration:
     # QWEN3TTS_CP_KERNEL=0|1, QWEN3TTS_TALKER_KERNEL=0|1.
     use_cp_megakernel: bool | None = None
     use_talker_megakernel: bool | None = None
+    # fused SEANet decoder-block kernels for the vocoder
+    # (ops/pallas/vocoder_kernels.py): None = auto (on for the TPU backend),
+    # or force with True/False / env QWEN3TTS_VOCODER_KERNEL=0|1.
+    use_vocoder_kernels: bool | None = None
 
 
 class Qwen3TTSError(Exception):
@@ -219,11 +223,19 @@ class Qwen3TTSPipeline:
         with open(st_cfg_path, "r", encoding="utf-8") as f:
             self.speech_config = SpeechTokenizerConfig.from_json(f.read())
         st_weights = safetensors_io.load_file(st_weights_path)
-        self.vocoder_params = jax.device_put(
-            ckpt.load_vocoder_checkpoint(
-                st_weights, self.speech_config.decoder_config, dtype=np.float32
-            )
+        vocoder_params = ckpt.load_vocoder_checkpoint(
+            st_weights, self.speech_config.decoder_config, dtype=np.float32
         )
+        if _knob(
+            self.pipeline_config.use_vocoder_kernels, "QWEN3TTS_VOCODER_KERNEL"
+        ):
+            from .ops.pallas.vocoder_kernels import build_vocoder_kernel_params
+
+            vocoder_params = dict(vocoder_params)
+            vocoder_params["kernel"] = build_vocoder_kernel_params(
+                vocoder_params, self.speech_config.decoder_config
+            )
+        self.vocoder_params = jax.device_put(vocoder_params)
 
         # Audio encoder for ICL (optional; encoder.* keys in the vocoder file,
         # reference Qwen3TTSPipeline.swift:211-218)
