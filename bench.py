@@ -20,11 +20,20 @@ FakeByteTokenizer, so the bench measures exactly the compute path.
 from __future__ import annotations
 
 import json
+import os
 import time
 
 import jax
 import jax.numpy as jnp
 import numpy as np
+
+# Persistent compile cache: TPU compiles run 60-300 s each through the
+# remote compile service; caching them cuts repeat bench runs from ~25 min
+# to minutes. Results are unaffected (this caches executables, not outputs).
+_CACHE_DIR = os.path.join(os.path.dirname(os.path.abspath(__file__)), ".jax_cache")
+os.makedirs(_CACHE_DIR, exist_ok=True)
+jax.config.update("jax_compilation_cache_dir", _CACHE_DIR)
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 5)
 
 from qwen3_tts_tpu.config import Qwen3TTSConfig, TokenizerDecoderConfig
 from qwen3_tts_tpu.models import code_predictor as cp_mod
@@ -196,6 +205,18 @@ def main() -> None:
         lambda k: voc.init_vocoder_params(vcfg, k, jnp.float32)
     )(jax.random.PRNGKey(7))
     jax.block_until_ready(voc_params)
+    if jax.default_backend() == "tpu":
+        # fused SEANet decoder-block kernels — the TPU default in the
+        # pipeline (ops/pallas/vocoder_kernels.py)
+        from qwen3_tts_tpu.ops.pallas.vocoder_kernels import (
+            build_vocoder_kernel_params_device,
+        )
+
+        voc_params = dict(voc_params)
+        voc_params["kernel"] = jax.jit(
+            lambda p: build_vocoder_kernel_params_device(p, vcfg)
+        )(voc_params)
+        jax.block_until_ready(voc_params["kernel"])
 
     aux = {}
     rtf_06 = e2e_rtf(Qwen3TTSConfig.standard(), voc_params, vcfg)

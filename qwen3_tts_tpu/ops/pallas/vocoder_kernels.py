@@ -60,15 +60,15 @@ def _np32(x) -> np.ndarray:
     return np.asarray(jax.device_get(x), np.float32)
 
 
-def build_seanet_block_kernel_params(
-    block: dict, rate: int, weight_dtype=np.float32
-) -> dict:
-    """Host-side transform of one decoder block's param subtree (see
-    models/vocoder.py init: {"snake", "up", "units"}) into the fused-path
-    layout. The large matmul weights are stored in `weight_dtype` (bf16 for
-    the TPU serving path; fp32 for exact-parity tests); snake params and
-    biases stay fp32. `jax.device_put` happens with the rest of the tree."""
-    w_up = _np32(block["up"]["w"])  # [2r, Cin, Cout], pre-flipped HIO
+def _build_block_kernel_params(block, rate, weight_dtype, xp, to32) -> dict:
+    """Transform one decoder block's param subtree (see models/vocoder.py
+    init: {"snake", "up", "units"}) into the fused-path layout. Generic over
+    the array backend: xp = numpy (host-side, used at checkpoint load) or
+    jax.numpy (device-side, avoids pulling weights over the throttled host
+    link); to32 converts a leaf to an fp32 xp array. The large matmul
+    weights are stored in `weight_dtype` (bf16 for the TPU serving path;
+    fp32 for exact-parity tests); snake params and biases stay fp32."""
+    w_up = to32(block["up"]["w"])  # [2r, Cin, Cout], pre-flipped HIO
     k, cin, cout = w_up.shape
     assert k == 2 * rate, (k, rate)
     # Mosaic requires the lane (channel) dim of the units kernel's HBM DMA
@@ -83,46 +83,64 @@ def build_seanet_block_kernel_params(
         pads = [(0, 0)] * w.ndim
         for ax in axes:
             pads[ax] = (0, cpad - w.shape[ax])
-        return np.pad(w, pads)
+        return xp.pad(w, pads)
 
     # out[t*r + p] = x[t] @ w_up[2r-1-p] + x[t-1] @ w_up[r-1-p]
-    w_lo = np.concatenate(
+    w_lo = xp.concatenate(
         [padc(w_up[2 * rate - 1 - p], (1,)) for p in range(rate)], axis=1
     )
-    w_hi = np.concatenate(
+    w_hi = xp.concatenate(
         [padc(w_up[rate - 1 - p], (1,)) for p in range(rate)], axis=1
     )
     w_lo = w_lo.astype(weight_dtype)  # [Cin, r*Cpad]
     w_hi = w_hi.astype(weight_dtype)
 
     def snake(p, pad=False):
-        a = np.exp(_np32(p["alpha"]))
-        binv = 1.0 / (np.exp(_np32(p["beta"])) + 1e-9)
+        a = xp.exp(to32(p["alpha"]))
+        binv = 1.0 / (xp.exp(to32(p["beta"])) + 1e-9)
         if pad:
             a, binv = padc(a, (0,)), padc(binv, (0,))
         return a[None, :], binv[None, :]
 
     a0, b0 = snake(block["snake"])
     units = block["units"]
-    u_a1 = np.stack([snake(u["act1"], True)[0] for u in units])
-    u_binv1 = np.stack([snake(u["act1"], True)[1] for u in units])
-    u_a2 = np.stack([snake(u["act2"], True)[0] for u in units])
-    u_binv2 = np.stack([snake(u["act2"], True)[1] for u in units])
-    u_w1 = np.stack(
-        [padc(_np32(u["conv1"]["w"]), (1, 2)) for u in units]
+    u_a1 = xp.stack([snake(u["act1"], True)[0] for u in units])
+    u_binv1 = xp.stack([snake(u["act1"], True)[1] for u in units])
+    u_a2 = xp.stack([snake(u["act2"], True)[0] for u in units])
+    u_binv2 = xp.stack([snake(u["act2"], True)[1] for u in units])
+    u_w1 = xp.stack(
+        [padc(to32(u["conv1"]["w"]), (1, 2)) for u in units]
     ).astype(weight_dtype)  # [3, 7, Cpad, Cpad]
-    u_b1 = np.stack([padc(_np32(u["conv1"]["b"]), (0,))[None] for u in units])
-    u_w2 = np.stack(
-        [padc(_np32(u["conv2"]["w"])[0], (0, 1)) for u in units]
+    u_b1 = xp.stack([padc(to32(u["conv1"]["b"]), (0,))[None] for u in units])
+    u_w2 = xp.stack(
+        [padc(to32(u["conv2"]["w"])[0], (0, 1)) for u in units]
     ).astype(weight_dtype)  # [3, Cpad, Cpad]
-    u_b2 = np.stack([padc(_np32(u["conv2"]["b"]), (0,))[None] for u in units])
+    u_b2 = xp.stack([padc(to32(u["conv2"]["b"]), (0,))[None] for u in units])
     return {
         "snake_a": a0, "snake_binv": b0,
         "w_lo": w_lo, "w_hi": w_hi,
-        "up_b": padc(_np32(block["up"]["b"]), (0,))[None],
+        "up_b": padc(to32(block["up"]["b"]), (0,))[None],
         "u_a1": u_a1, "u_binv1": u_binv1, "u_w1": u_w1, "u_b1": u_b1,
         "u_a2": u_a2, "u_binv2": u_binv2, "u_w2": u_w2, "u_b2": u_b2,
     }
+
+
+def build_seanet_block_kernel_params(
+    block: dict, rate: int, weight_dtype=np.float32
+) -> dict:
+    """Host-side (numpy) kernel params for one block; see
+    _build_block_kernel_params."""
+    return _build_block_kernel_params(block, rate, weight_dtype, np, _np32)
+
+
+def build_seanet_block_kernel_params_device(
+    block: dict, rate: int, weight_dtype=jnp.bfloat16
+) -> dict:
+    """Device-side (jnp, jittable) kernel params for one block; see
+    _build_block_kernel_params."""
+    return _build_block_kernel_params(
+        block, rate, weight_dtype, jnp, lambda x: jnp.asarray(x, jnp.float32)
+    )
 
 
 def _snake(x, a, binv):
@@ -294,11 +312,26 @@ def seanet_block_fused(
 def build_vocoder_kernel_params(
     params: dict, cfg, weight_dtype=ml_dtypes.bfloat16
 ) -> dict:
-    """Kernel param subtree for all four decoder blocks; store under
-    params["kernel"] to enable the fused path in models/vocoder.py."""
+    """Kernel param subtree for all four decoder blocks (host-side numpy);
+    store under params["kernel"] to enable the fused path in
+    models/vocoder.py."""
     return {
         "blocks": [
             build_seanet_block_kernel_params(block, rate, weight_dtype)
+            for block, rate in zip(params["decoder"]["blocks"], cfg.upsample_rates)
+        ]
+    }
+
+
+def build_vocoder_kernel_params_device(
+    params: dict, cfg, weight_dtype=jnp.bfloat16
+) -> dict:
+    """Device-side (jittable) variant of build_vocoder_kernel_params, for
+    params that already live on device (e.g. bench/test random init) —
+    avoids pulling ~150 MB of vocoder weights over the throttled host."""
+    return {
+        "blocks": [
+            build_seanet_block_kernel_params_device(block, rate, weight_dtype)
             for block, rate in zip(params["decoder"]["blocks"], cfg.upsample_rates)
         ]
     }

@@ -42,6 +42,14 @@ if "nokernel" not in sys.argv:
     )
     params = dict(params)
     params["kernel"] = build_talker_kernel_params_device(params, config)
+    from qwen3_tts_tpu.ops.pallas.vocoder_kernels import (
+        build_vocoder_kernel_params_device,
+    )
+
+    voc_params = dict(voc_params)
+    voc_params["kernel"] = jax.jit(
+        lambda pr: build_vocoder_kernel_params_device(pr, vcfg)
+    )(voc_params)
     jax.block_until_ready((params["kernel"], cp_params["kernel"]))
     print("mega-kernels attached", flush=True)
 

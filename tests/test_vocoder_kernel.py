@@ -126,3 +126,21 @@ def test_decode_frames_kernel_path_matches_jnp():
     )
     assert got.shape == ref.shape
     np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=3e-5, rtol=3e-5)
+
+
+def test_device_builder_matches_host():
+    """build_seanet_block_kernel_params_device (jnp) == host numpy builder."""
+    from qwen3_tts_tpu.ops.pallas.vocoder_kernels import (
+        build_seanet_block_kernel_params_device,
+    )
+
+    block = make_block(jax.random.PRNGKey(5), 16, 8, 4)
+    host = build_seanet_block_kernel_params(block, 4, np.float32)
+    dev = jax.jit(
+        lambda b: build_seanet_block_kernel_params_device(b, 4, jnp.float32)
+    )(block)
+    assert set(host) == set(dev)
+    for k in host:
+        np.testing.assert_allclose(
+            np.asarray(dev[k]), host[k], atol=1e-6, rtol=1e-6, err_msg=k
+        )
