@@ -278,7 +278,25 @@ def decode_frames(
     as one fused Pallas kernel each instead of ~17 XLA ops each."""
     h = rvq_decode(params["quantizer"], codes)            # [B, T, 512]
     h = causal_conv1d(params["pre_conv"], h)              # [B, T, 1024]
-    h = pre_transformer(params["pre_transformer"], h, cfg)
+    kernel = params.get("kernel")
+    # The mega-kernel wins at streaming chunk sizes (T=26: 1.30 ms vs 1.69
+    # jnp on v5e) but its per-head dot unrolling loses at long T (T=96:
+    # 2.57 vs 1.79) — use it only for small chunks.
+    if (
+        kernel is not None
+        and kernel.get("pre_transformer") is not None
+        and codes.shape[2] <= 64
+    ):
+        from ..ops.pallas.pretransformer_kernel import pre_transformer_fused
+
+        h = pre_transformer_fused(
+            kernel["pre_transformer"], h,
+            nl=cfg.num_hidden_layers, nh=cfg.num_attention_heads,
+            hd=cfg.head_dim, eps=cfg.rms_norm_eps, rope_theta=cfg.rope_theta,
+            compute_dtype=kernel_compute_dtype, interpret=kernel_interpret,
+        )
+    else:
+        h = pre_transformer(params["pre_transformer"], h, cfg)
 
     for stage, ratio in zip(params["upsample"], cfg.upsampling_ratios):
         h = causal_transpose_conv1d(stage["tconv"], h, stride=ratio)

@@ -1,0 +1,221 @@
+"""Vocoder pre-transformer MEGA-kernel: 8 layers in one pallas_call.
+
+After the fused SEANet blocks (ops/pallas/vocoder_kernels.py), the vocoder
+is op-count-bound, not bandwidth-bound: the 8-layer causal pre-transformer
+(models/vocoder.py::pre_transformer, reference DecoderTransformer,
+SpeechTokenizer.swift:439-488) is ~160 small XLA ops over a [T<=110, 512]
+activation, and on this stack every dispatched op costs ~25 us — ~4 ms of
+pure launch overhead for ~100 us of math. This kernel runs input_proj, all
+8 decoder layers (RMSNorm, per-head RoPE attention with LayerScale, SwiGLU
+MLP with LayerScale), the final norm, and output_proj as ONE kernel with a
+grid over layers; Mosaic's pipeline double-buffers each layer's ~8 MB bf16
+weight block while the activation lives in VMEM scratch.
+
+Mosaic-safe formulation (no lane slicing of values anywhere):
+  * per-head weights are pre-split on a LEADING dim ([nl, nh, h, hd]), so
+    q_h / k_h / v_h come from their own matmuls at lane offset 0;
+  * rotate-half is a matmul with a constant signed permutation matrix
+    R[hd, hd] (x @ R == rotate_half(x)), not a lane-slice concat;
+  * the o-projection is accumulated per head (oh @ Wo_h summed over heads)
+    instead of lane-concatenating 8 head outputs.
+
+Numerics match models/vocoder.py::pre_transformer (fp32 softmax and norms;
+matmuls in `compute_dtype`, bf16 on TPU / fp32 for exact-parity tests).
+Parity: tests/test_pretransformer_kernel.py.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from .. import rope as rope_ops
+
+def _rms(x32, w_row, eps):
+    ms = jnp.mean(x32 * x32, axis=-1, keepdims=True)
+    return x32 * jax.lax.rsqrt(ms + eps) * w_row
+
+
+_PARAMS = (
+    "cos", "sin", "wi", "bi", "ln1", "wq", "wk", "wv", "rotm", "wo",
+    "lsa", "ln2", "wg", "wu", "wd", "lsm", "fnorm", "wout", "bout",
+)
+_PER_LAYER = {"ln1", "wq", "wk", "wv", "wo", "lsa", "ln2", "wg", "wu", "wd", "lsm"}
+
+
+def _kernel(
+    cos, sin, wi, bi, ln1, wq, wk, wv, rotm, wo,
+    lsa, ln2, wg, wu, wd, lsm, fnorm, wout, bout,
+    x_ref, out_ref, x_s,
+    *, nl, nh, hd, eps, cd,
+):
+    l = pl.program_id(1)
+
+    def dot(a, b):
+        return jax.lax.dot_general(
+            a.astype(cd), b.astype(cd), (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+
+    @pl.when(l == 0)
+    def _():
+        x_s[:] = dot(x_ref[0], wi[:]) + bi[:]
+
+    h = x_s[:]  # (T_pad, h) fp32
+    t = h.shape[0]
+    scale = 1.0 / float(hd) ** 0.5
+    cosv = cos[:]
+    sinv = sin[:]
+    row = jax.lax.broadcasted_iota(jnp.int32, (t, t), 0)
+    col = jax.lax.broadcasted_iota(jnp.int32, (t, t), 1)
+    causal = col <= row
+
+    xin = _rms(h, ln1[0], eps)
+    acc = jnp.zeros_like(h)
+    for j in range(nh):
+        qh = dot(xin, wq[0, j])  # (t, hd) fp32
+        kh = dot(xin, wk[0, j])
+        vh = dot(xin, wv[0, j])
+        qh = qh * cosv + dot(qh, rotm[:]) * sinv
+        kh = kh * cosv + dot(kh, rotm[:]) * sinv
+        sc = jax.lax.dot_general(
+            qh.astype(cd), kh.astype(cd), (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        ) * scale
+        sc = jnp.where(causal, sc, -1e30)
+        mx = jnp.max(sc, axis=-1, keepdims=True)
+        e = jnp.exp(sc - mx)
+        p = e / jnp.sum(e, axis=-1, keepdims=True)
+        oh = dot(p, vh)
+        acc = acc + dot(oh, wo[0, j])
+    h = h + lsa[0] * acc
+
+    x2 = _rms(h, ln2[0], eps)
+    g = dot(x2, wg[0])
+    u = dot(x2, wu[0])
+    m = dot(jax.nn.silu(g) * u, wd[0])
+    h = h + lsm[0] * m
+    x_s[:] = h
+
+    @pl.when(l == nl - 1)
+    def _():
+        hf = _rms(h, fnorm[:], eps)
+        out_ref[0] = (dot(hf, wout[:]) + bout[:]).astype(out_ref.dtype)
+
+
+def build_pretransformer_kernel_params_device(
+    pt: dict, cfg, weight_dtype=jnp.bfloat16
+) -> dict:
+    """Kernel param subtree from the stacked pre_transformer tree
+    (models/vocoder.py init: input_proj / layers / norm / output_proj).
+    Jittable; weights stay on device. Requires bias-free attention and MLP
+    (the reference vocoder layout, attention_bias=False)."""
+    L = pt["layers"]
+    nh, hd = cfg.num_attention_heads, cfg.head_dim
+    h = cfg.hidden_size
+    for name in ("q_proj", "k_proj", "v_proj", "o_proj", "gate_proj",
+                 "up_proj", "down_proj"):
+        if "b" in L[name]:
+            raise ValueError(f"pre-transformer kernel requires bias-free {name}")
+
+    def heads_in(w):  # [nl, nh*hd, h] -> [nl, nh, h, hd]
+        nl = w.shape[0]
+        return jnp.transpose(
+            w.reshape(nl, nh, hd, h), (0, 1, 3, 2)
+        ).astype(weight_dtype)
+
+    def f32row(w):  # [nl, h] -> [nl, 1, h]
+        return w[:, None, :].astype(jnp.float32)
+
+    # x @ R == rotate_half(x) (ops/rope.py::rotate_half)
+    rotm = np.zeros((hd, hd), np.float32)
+    half = hd // 2
+    for j in range(half):
+        rotm[j + half, j] = -1.0
+        rotm[j, j + half] = 1.0
+    return {
+        "wi": pt["input_proj"]["w"].T.astype(weight_dtype),
+        "bi": pt["input_proj"]["b"][None].astype(jnp.float32),
+        "ln1": f32row(L["input_layernorm"]["w"]),
+        "wq": heads_in(L["q_proj"]["w"]),
+        "wk": heads_in(L["k_proj"]["w"]),
+        "wv": heads_in(L["v_proj"]["w"]),
+        "rotm": jnp.asarray(rotm),
+        "wo": jnp.transpose(
+            L["o_proj"]["w"].reshape(-1, h, nh, hd), (0, 2, 3, 1)
+        ).astype(weight_dtype),
+        "lsa": f32row(L["self_attn_layer_scale"]["w"]),
+        "ln2": f32row(L["post_attention_layernorm"]["w"]),
+        "wg": jnp.transpose(L["gate_proj"]["w"], (0, 2, 1)).astype(weight_dtype),
+        "wu": jnp.transpose(L["up_proj"]["w"], (0, 2, 1)).astype(weight_dtype),
+        "wd": jnp.transpose(L["down_proj"]["w"], (0, 2, 1)).astype(weight_dtype),
+        "lsm": f32row(L["mlp_layer_scale"]["w"]),
+        "fnorm": pt["norm"]["w"][None].astype(jnp.float32),
+        "wout": pt["output_proj"]["w"].T.astype(weight_dtype),
+        "bout": pt["output_proj"]["b"][None].astype(jnp.float32),
+    }
+
+
+@functools.partial(
+    jax.jit, static_argnames=("nl", "nh", "hd", "eps", "rope_theta",
+                              "compute_dtype", "interpret")
+)
+def pre_transformer_fused(
+    kp: dict,
+    x: jax.Array,
+    *,
+    nl: int,
+    nh: int,
+    hd: int,
+    eps: float,
+    rope_theta: float,
+    compute_dtype=jnp.bfloat16,
+    interpret: bool = False,
+) -> jax.Array:
+    """Fused pre-transformer: x [B, T, latent] -> [B, T, latent]."""
+    bsz, t, latent = x.shape
+    h = kp["wi"].shape[1]
+    tp = -(-t // 8) * 8
+    xp = jnp.pad(x, ((0, 0), (0, tp - t), (0, 0)))
+    inv = jnp.asarray(rope_ops.inv_freq(hd, rope_theta))
+    cos, sin = rope_ops.rope_cos_sin(jnp.arange(tp), inv)  # [tp, hd]
+    kp = dict(kp, cos=cos, sin=sin)
+
+    def spec(name):
+        shp = kp[name].shape
+        if name in _PER_LAYER:
+            return pl.BlockSpec(
+                (1,) + shp[1:],
+                lambda b, l, _n=len(shp): (l,) + (0,) * (_n - 1),
+                memory_space=pltpu.VMEM,
+            )
+        return pl.BlockSpec(
+            shp, lambda b, l, _n=len(shp): (0,) * _n, memory_space=pltpu.VMEM
+        )
+
+    kernel = functools.partial(
+        _kernel, nl=nl, nh=nh, hd=hd, eps=eps, cd=compute_dtype
+    )
+    out = pl.pallas_call(
+        kernel,
+        grid=(bsz, nl),
+        in_specs=[
+            *(spec(name) for name in _PARAMS),
+            pl.BlockSpec(
+                (1, tp, latent), lambda b, l: (b, 0, 0), memory_space=pltpu.VMEM
+            ),
+        ],
+        out_specs=pl.BlockSpec(
+            (1, tp, latent), lambda b, l: (b, 0, 0), memory_space=pltpu.VMEM
+        ),
+        out_shape=jax.ShapeDtypeStruct((bsz, tp, latent), x.dtype),
+        scratch_shapes=[pltpu.VMEM((tp, h), jnp.float32)],
+        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=127 * 2**20),
+        interpret=pltpu.InterpretParams() if interpret else False,
+    )(*(kp[name] for name in _PARAMS), xp)
+    return out[:, :t]

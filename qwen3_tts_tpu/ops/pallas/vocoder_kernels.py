@@ -309,17 +309,33 @@ def seanet_block_fused(
     return y[..., :cout]
 
 
+def _pretransformer_subtree(params: dict, cfg):
+    from .pretransformer_kernel import build_pretransformer_kernel_params_device
+
+    try:
+        return build_pretransformer_kernel_params_device(
+            params["pre_transformer"], cfg, weight_dtype=jnp.bfloat16
+        )
+    except ValueError:
+        # layout the kernel doesn't cover (e.g. attention biases) — the jnp
+        # pre_transformer path handles it; only the blocks run fused
+        return None
+
+
 def build_vocoder_kernel_params(
     params: dict, cfg, weight_dtype=ml_dtypes.bfloat16
 ) -> dict:
-    """Kernel param subtree for all four decoder blocks (host-side numpy);
-    store under params["kernel"] to enable the fused path in
-    models/vocoder.py."""
+    """Kernel param subtree (SEANet blocks + pre-transformer mega-kernel);
+    store under params["kernel"] to enable the fused paths in
+    models/vocoder.py. Block params build host-side (numpy); the
+    pre-transformer subtree builds via jnp (transposes run on device after
+    upload, which device_put of the full tree then passes through)."""
     return {
         "blocks": [
             build_seanet_block_kernel_params(block, rate, weight_dtype)
             for block, rate in zip(params["decoder"]["blocks"], cfg.upsample_rates)
-        ]
+        ],
+        "pre_transformer": _pretransformer_subtree(params, cfg),
     }
 
 
@@ -333,5 +349,6 @@ def build_vocoder_kernel_params_device(
         "blocks": [
             build_seanet_block_kernel_params_device(block, rate, weight_dtype)
             for block, rate in zip(params["decoder"]["blocks"], cfg.upsample_rates)
-        ]
+        ],
+        "pre_transformer": _pretransformer_subtree(params, cfg),
     }

@@ -27,6 +27,8 @@ def timeit(fn, *args, n=20):
 
 
 def main():
+    jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 5)
     cfg = TokenizerDecoderConfig()
     params = jax.jit(lambda k: voc.init_vocoder_params(cfg, k, jnp.float32))(
         jax.random.PRNGKey(0)
@@ -35,7 +37,9 @@ def main():
     kparams = dict(params)
     kparams["kernel"] = jax.device_put(build_vocoder_kernel_params(params, cfg))
 
-    for t, label in ((26, "stream 18+8"), (96, "bench e2e 96")):
+    ts = [int(a) for a in sys.argv[1:]] or [26, 96]
+    for t in ts:
+        label = f"T={t}"
         codes = jnp.zeros((1, cfg.num_quantizers, t), jnp.int32)
         ms_plain = timeit(lambda c: voc.decode_frames_jit(params, c, cfg), codes)
         print(f"[{label}] T={t}: plain {ms_plain:.3f} ms", flush=True)

@@ -1,0 +1,124 @@
+"""Vocoder stage attribution WITHOUT per-stage dispatch noise: jit a series
+of prefix graphs (stage 0..k) and difference consecutive wall times. The old
+exp_vocoder_profile.py timed each stage as its own dispatch, which bills
+~2 ms of tunnel/dispatch overhead to every stage; prefix differencing bills
+it once. Run with the fused SEANet kernels attached (the TPU default)."""
+
+from __future__ import annotations
+
+import functools
+import sys
+import time
+
+sys.path.insert(0, "/root/repo")
+
+import jax
+import jax.numpy as jnp
+
+from qwen3_tts_tpu.config import TokenizerDecoderConfig
+from qwen3_tts_tpu.models import vocoder as voc
+from qwen3_tts_tpu.models.vocoder import (
+    causal_conv1d,
+    convnext_block,
+    causal_transpose_conv1d,
+    left_pad_conv1d,
+    pre_transformer,
+    rvq_decode,
+    snake_beta,
+)
+from qwen3_tts_tpu.ops.pallas.vocoder_kernels import (
+    build_vocoder_kernel_params_device,
+    seanet_block_fused,
+)
+
+
+def stage_fns(cfg):
+    """Ordered (name, fn) where each fn advances the carried activation."""
+
+    def up(params, h):
+        for stage, ratio in zip(params["upsample"], cfg.upsampling_ratios):
+            h = causal_transpose_conv1d(stage["tconv"], h, stride=ratio)
+            h = convnext_block(stage["convnext"], h)
+        return h
+
+    def blocks(params, wav):
+        kernel = params.get("kernel")
+        if kernel is not None:
+            for kp, block, rate in zip(
+                kernel["blocks"], params["decoder"]["blocks"], cfg.upsample_rates
+            ):
+                wav = seanet_block_fused(
+                    kp, wav, rate=rate, cout=block["up"]["w"].shape[2]
+                )
+        else:
+            for block, rate in zip(params["decoder"]["blocks"], cfg.upsample_rates):
+                wav = snake_beta(block["snake"], wav)
+                wav = causal_transpose_conv1d(block["up"], wav, stride=rate)
+                for unit, dil in zip(block["units"], (1, 3, 9)):
+                    wav = voc._residual_unit(unit, wav, dil)
+        return wav
+
+    return [
+        ("rvq+pre_conv", lambda p, c: causal_conv1d(
+            p["pre_conv"], rvq_decode(p["quantizer"], c))),
+        ("pre_transformer", lambda p, h: pre_transformer(
+            p["pre_transformer"], h, cfg)),
+        ("upsample(convnext)", up),
+        ("initial_conv", lambda p, h: left_pad_conv1d(
+            p["decoder"]["initial_conv"], h)),
+        ("seanet_blocks", blocks),
+        ("out_snake+conv", lambda p, w: jnp.clip(
+            left_pad_conv1d(
+                p["decoder"]["out_conv"],
+                snake_beta(p["decoder"]["out_snake"], w),
+            )[..., 0].astype(jnp.float32), -1.0, 1.0)),
+    ]
+
+
+def timeit(fn, *args, n=30):
+    out = fn(*args)
+    jax.block_until_ready(out)
+    t0 = time.perf_counter()
+    for _ in range(n):
+        out = fn(*args)
+    jax.block_until_ready(out)
+    return (time.perf_counter() - t0) / n * 1e3
+
+
+def main():
+    jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 5)
+    cfg = TokenizerDecoderConfig()
+    params = jax.jit(lambda k: voc.init_vocoder_params(cfg, k, jnp.float32))(
+        jax.random.PRNGKey(0)
+    )
+    jax.block_until_ready(params)
+    params = dict(params)
+    params["kernel"] = jax.jit(
+        lambda p: build_vocoder_kernel_params_device(p, cfg)
+    )(params)
+    jax.block_until_ready(params["kernel"])
+
+    fns = stage_fns(cfg)
+    t = 26 if len(sys.argv) < 2 else int(sys.argv[1])
+    codes = jnp.zeros((1, cfg.num_quantizers, t), jnp.int32)
+
+    def prefix(k):
+        @jax.jit
+        def f(p, c):
+            x = c
+            for _, fn in fns[: k + 1]:
+                x = fn(p, x)
+            return x
+        return f
+
+    prev = 0.0
+    for k, (name, _) in enumerate(fns):
+        ms = timeit(prefix(k), params, codes)
+        print(f"T={t} prefix {k} (+{name}): {ms:8.3f} ms  (delta {ms - prev:+.3f})",
+              flush=True)
+        prev = ms
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,98 @@
+"""Parity tests for the pre-transformer mega-kernel
+(ops/pallas/pretransformer_kernel.py) against the jnp path it replaces
+(models/vocoder.py::pre_transformer)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from qwen3_tts_tpu.config import TokenizerDecoderConfig
+from qwen3_tts_tpu.models import vocoder as voc
+from qwen3_tts_tpu.ops.pallas.pretransformer_kernel import (
+    build_pretransformer_kernel_params_device,
+    pre_transformer_fused,
+)
+
+CFG = TokenizerDecoderConfig(
+    codebook_size=32,
+    codebook_dim=16,
+    num_quantizers=4,
+    num_semantic_quantizers=1,
+    latent_dim=24,
+    decoder_dim=32,
+    hidden_size=32,
+    num_hidden_layers=3,
+    num_attention_heads=2,
+    head_dim=16,
+    intermediate_size=48,
+    upsample_rates=(8, 5, 4, 3),
+    upsampling_ratios=(2, 2),
+)
+
+
+def _params():
+    return voc.init_vocoder_params(CFG, jax.random.PRNGKey(0), jnp.float32)
+
+
+@pytest.mark.parametrize("t,b", [(7, 1), (26, 2), (1, 1)])
+def test_fused_matches_jnp(t, b):
+    params = _params()
+    pt = params["pre_transformer"]
+    x = jax.random.normal(jax.random.PRNGKey(1), (b, t, CFG.latent_dim))
+    ref = voc.pre_transformer(pt, x, CFG)
+    kp = build_pretransformer_kernel_params_device(
+        pt, CFG, weight_dtype=jnp.float32
+    )
+    got = pre_transformer_fused(
+        kp, x,
+        nl=CFG.num_hidden_layers, nh=CFG.num_attention_heads,
+        hd=CFG.head_dim, eps=CFG.rms_norm_eps, rope_theta=CFG.rope_theta,
+        compute_dtype=jnp.float32, interpret=True,
+    )
+    assert got.shape == ref.shape
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=3e-5, rtol=3e-5)
+
+
+def test_decode_frames_uses_fused_pretransformer():
+    """decode_frames with the full kernel subtree (blocks + pre-transformer)
+    matches the plain path at fp32."""
+    from qwen3_tts_tpu.ops.pallas.vocoder_kernels import (
+        build_vocoder_kernel_params,
+    )
+
+    params = _params()
+    codes = jax.random.randint(
+        jax.random.PRNGKey(2), (1, CFG.num_quantizers, 5), 0, CFG.codebook_size
+    )
+    ref = voc.decode_frames(params, codes, CFG)
+    kparams = dict(params)
+    kparams["kernel"] = build_vocoder_kernel_params(
+        params, CFG, weight_dtype=np.float32
+    )
+    kparams["kernel"]["pre_transformer"] = (
+        build_pretransformer_kernel_params_device(
+            params["pre_transformer"], CFG, weight_dtype=jnp.float32
+        )
+    )
+    got = voc.decode_frames(
+        kparams, codes, CFG, kernel_compute_dtype=jnp.float32,
+        kernel_interpret=True,
+    )
+    assert got.shape == ref.shape
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=5e-5, rtol=5e-5)
+
+
+def test_biased_attention_falls_back():
+    """A pre-transformer with attention biases is refused by the builder and
+    the subtree builder degrades to None (jnp path)."""
+    from qwen3_tts_tpu.ops.pallas.vocoder_kernels import _pretransformer_subtree
+
+    params = _params()
+    pt = jax.tree.map(lambda x: x, params["pre_transformer"])
+    ql = dict(pt["layers"]["q_proj"])
+    ql["b"] = jnp.zeros(
+        (CFG.num_hidden_layers, CFG.num_attention_heads * CFG.head_dim)
+    )
+    pt["layers"] = dict(pt["layers"], q_proj=ql)
+    assert _pretransformer_subtree(dict(params, pre_transformer=pt), CFG) is None
