@@ -281,10 +281,12 @@ def decode_frames(
     kernel = params.get("kernel")
     # The mega-kernel wins at streaming chunk sizes (T=26: 1.30 ms vs 1.69
     # jnp on v5e) but its per-head dot unrolling loses at long T (T=96:
-    # 2.57 vs 1.79) — use it only for small chunks.
+    # 2.57 vs 1.79), and its (batch, layer) grid refetches every layer's
+    # weight block per batch row — single-stream small chunks only.
     if (
         kernel is not None
         and kernel.get("pre_transformer") is not None
+        and codes.shape[0] == 1
         and codes.shape[2] <= 64
     ):
         from ..ops.pallas.pretransformer_kernel import pre_transformer_fused
@@ -303,8 +305,10 @@ def decode_frames(
         h = convnext_block(stage["convnext"], h)
 
     wav = left_pad_conv1d(params["decoder"]["initial_conv"], h)
-    kernel = params.get("kernel")
-    if kernel is not None:
+    # Fused SEANet blocks win single-stream (B=1 T=96: 16.9 ms vs 22.6 plain
+    # on v5e) but lose at serving batch (B=32 T=48: 253 vs 189) where XLA's
+    # batched convs amortize — B=1 only.
+    if kernel is not None and codes.shape[0] == 1:
         from ..ops.pallas.vocoder_kernels import seanet_block_fused
 
         for kp, block, rate in zip(

@@ -50,6 +50,13 @@ def timeit(fn, n=50):
 
 
 def main():
+    # dispatch-throughput reference: a trivial jitted op timed the same way
+    triv = jax.jit(lambda x: x + 1)
+    z = jnp.zeros((8, 128), jnp.float32)
+    def triv_once():
+        return triv(z)
+    P(f"trivial jit dispatch:      {timeit(triv_once):.3f} ms")
+
     params, cp_params = device_init(jax.random.PRNGKey(0))
     jax.block_until_ready(cp_params)
     tkp = build_talker_kernel_params_device(params, config)
@@ -98,7 +105,7 @@ def main():
 
     def cp_once():
         codes, esum, _ = predict_frame_kernel(
-            cpk, code_hidden, code0_embed, key, temp, None, config
+            cpk, code_hidden, code0_embed, key, temp, None, config.code_predictor_config
         )
         return codes
 
@@ -119,18 +126,37 @@ def main():
     statics = gen_mod.GenStatics(
         config=config, capacity=pb + gen_mod.RING_SLACK,
         chunk_steps=CHUNK, track_cp_penalty=False)
-    state = gen_mod.prefill(
-        params2, embeds, jnp.int32(p), trailing, jnp.int32(t),
-        pd.tts_pad_embed, jax.random.PRNGKey(42), statics)
-    jax.block_until_ready(state["cache"]["pos"] if "cache" in state else state)
+    def fresh():
+        return gen_mod.prefill(
+            params2, embeds, jnp.int32(p), trailing, jnp.int32(t),
+            pd.tts_pad_embed, jax.random.PRNGKey(42), statics)
 
-    def chunk_once():
-        frames, count, eos, st = gen_mod.decode_chunk(
-            params2, cp2, state, temp, statics)
-        return frames
+    def prefill_once():
+        st = fresh()
+        jax.block_until_ready(st)
+        return st
 
-    ms = timeit(chunk_once, n=5)
-    P(f"decode_chunk: {ms:.2f} ms / {CHUNK} frames = {ms/CHUNK:.3f} ms/frame")
+    # decode_chunk donates its state: re-prefill per iteration and subtract
+    st = prefill_once()
+    frames, count, eos, st = gen_mod.decode_chunk(params2, cp2, st, temp, statics)
+    jax.block_until_ready(frames)  # compile both
+
+    t0 = time.perf_counter()
+    n = 5
+    for _ in range(n):
+        st = fresh()
+        frames, count, eos, st = gen_mod.decode_chunk(params2, cp2, st, temp, statics)
+    jax.block_until_ready(frames)
+    total = (time.perf_counter() - t0) / n * 1e3
+
+    t0 = time.perf_counter()
+    for _ in range(n):
+        st2 = fresh()
+    jax.block_until_ready(st2)
+    pre = (time.perf_counter() - t0) / n * 1e3
+    P(f"prefill: {pre:.2f} ms; prefill+chunk: {total:.2f} ms")
+    P(f"decode_chunk: {total-pre:.2f} ms / {CHUNK} frames = "
+      f"{(total-pre)/CHUNK:.3f} ms/frame")
 
 
 if __name__ == "__main__":

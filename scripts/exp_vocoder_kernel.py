@@ -37,15 +37,16 @@ def main():
     kparams = dict(params)
     kparams["kernel"] = jax.device_put(build_vocoder_kernel_params(params, cfg))
 
-    ts = [int(a) for a in sys.argv[1:]] or [26, 96]
-    for t in ts:
-        label = f"T={t}"
-        codes = jnp.zeros((1, cfg.num_quantizers, t), jnp.int32)
+    specs = [a for a in sys.argv[1:]] or ["26", "96"]
+    for spec in specs:
+        b, t = ([1] + [int(x) for x in spec.split("x")])[-2:]
+        label = f"B={b} T={t}"
+        codes = jnp.zeros((b, cfg.num_quantizers, t), jnp.int32)
         ms_plain = timeit(lambda c: voc.decode_frames_jit(params, c, cfg), codes)
-        print(f"[{label}] T={t}: plain {ms_plain:.3f} ms", flush=True)
+        print(f"[{label}] plain {ms_plain:.3f} ms", flush=True)
         ms_fused = timeit(lambda c: voc.decode_frames_jit(kparams, c, cfg), codes)
         print(
-            f"[{label}] T={t}: fused {ms_fused:.3f} ms ({t*0.08:.2f} s audio)",
+            f"[{label}] fused {ms_fused:.3f} ms ({b*t*0.08:.2f} s audio)",
             flush=True,
         )
 
