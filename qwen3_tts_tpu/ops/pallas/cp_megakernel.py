@@ -157,7 +157,7 @@ def _cp_kernel(
     # SMEM
     seed_ref, temp_ref,
     # VMEM tensors
-    x0_ref, seen_ref, cos_ref, sin_ref,
+    x0_ref, seen_ref, cos_ref, sin_ref, qmask_ref,
     in_ln, post_ln, q_ln, k_ln, fin_ln,
     qkv_q, qkv_s, qkv_m, o_q, o_s, o_m,
     gu_q, gu_s, gu_m, dn_q, dn_s, dn_m,
@@ -197,10 +197,23 @@ def _cp_kernel(
 
     def token_pass(t):
         """Forward the current token (x_s row 0) at position t through all
-        layers, writing KV slot t. Returns final-normed hidden (M_PAD, hc)."""
+        layers, writing KV slot t. Returns final-normed hidden (M_PAD, hc).
+
+        Attention runs with ALL nq query heads in the M dimension of TWO
+        dots instead of a per-kv-head loop of 16 tiny dots plus a 16-dot
+        _to_row extraction: q_wide [nq, nq*hd] places head i's query in lane
+        block i (lane-tile + qmask), K_rep/V_rep [n_pos, nq*hd] replicate
+        each kv head's cache block per query head (lane concats of cache
+        REF loads — values at sublane offset 0, which Mosaic allows). The
+        zero lanes contribute exact 0s to the f32 contractions, so results
+        are bitwise identical to the per-head formulation; the qmask row-sum
+        replaces _to_row. This cut the per-(group x layer) step from ~10.5
+        to fewer, larger issue slots (the kernel was dot-issue-latency
+        bound, not FLOP bound)."""
         cos_t = cos_ref[pl.ds(t, 1), :]  # (1, hd)
         sin_t = sin_ref[pl.ds(t, 1), :]
-        slot_ids = jax.lax.broadcasted_iota(jnp.int32, (group, n_pos), 1)
+        slot_ids = jax.lax.broadcasted_iota(jnp.int32, (nq, n_pos), 1)
+        qmask = qmask_ref[:]  # (nq, nq*hd): row i keeps lane block i
         h = x_s[:]
         for l in range(nl):
             xin = _rms(h, in_ln[l], eps)
@@ -208,37 +221,45 @@ def _cp_kernel(
             row = qkv[0:1, :]
             q = _to_heads(row[:, : nq * hd], nq, hd)
             k = _to_heads(row[:, nq * hd:(nq + nkv) * hd], nkv, hd)
-            v = _to_heads(row[:, (nq + nkv) * hd:], nkv, hd)
+            v_row = row[:, (nq + nkv) * hd:]  # (1, nkv*hd) lane-major
             q = _rms(q, q_ln[l], eps)
             k = _rms(k, k_ln[l], eps)
             q = q * cos_t + _rot_half(q, hd) * sin_t
             k = k * cos_t + _rot_half(k, hd) * sin_t
 
-            outs = []
             for j in range(nkv):
                 kv_k[l, j, pl.ds(t, 1), :] = k[j:j + 1, :]
-                kv_v[l, j, pl.ds(t, 1), :] = v[j:j + 1, :]
-                ks = kv_k[l, j]  # (n_pos, hd)
-                vs = kv_v[l, j]
-                qp = q[j * group:(j + 1) * group, :]  # (group, hd)
-                sc = jax.lax.dot_general(
-                    qp, ks, dimension_numbers=(((1,), (1,)), ((), ())),
-                    preferred_element_type=jnp.float32,
-                    precision=jax.lax.Precision.HIGHEST,
-                ) * scale  # (group, n_pos)
-                sc = jnp.where(slot_ids <= t, sc, -1e30)
-                mx = jnp.max(sc, axis=-1, keepdims=True)
-                p = jnp.exp(sc - mx)
-                p = p / jnp.sum(p, axis=-1, keepdims=True)
-                outs.append(
-                    jax.lax.dot_general(
-                        p, vs, dimension_numbers=(((1,), (0,)), ((), ())),
-                        preferred_element_type=jnp.float32,
-                        precision=jax.lax.Precision.HIGHEST,
-                    )
-                )  # (group, hd)
-            attn = jnp.concatenate(outs, axis=0)  # (nq, hd)
-            attn_s[0:1, :] = _to_row(attn, nq, hd)
+            kv_v[l, pl.ds(t, 1), :] = v_row
+
+            kblocks = [kv_k[l, j] for j in range(nkv)]  # (n_pos, hd) each
+            k_rep = jnp.concatenate(
+                [kblocks[i // group] for i in range(nq)], axis=1
+            )  # (n_pos, nq*hd)
+            v_all = kv_v[l]  # (n_pos, nkv*hd)
+            v_rep = jnp.concatenate(
+                [
+                    v_all[:, (i // group) * hd:(i // group + 1) * hd]
+                    for i in range(nq)
+                ],
+                axis=1,
+            )  # (n_pos, nq*hd)
+            q_wide = jnp.concatenate([q] * nq, axis=1) * qmask  # (nq, nq*hd)
+
+            sc = jax.lax.dot_general(
+                q_wide, k_rep, dimension_numbers=(((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32,
+                precision=jax.lax.Precision.HIGHEST,
+            ) * scale  # (nq, n_pos)
+            sc = jnp.where(slot_ids <= t, sc, -1e30)
+            mx = jnp.max(sc, axis=-1, keepdims=True)
+            p = jnp.exp(sc - mx)
+            p = p / jnp.sum(p, axis=-1, keepdims=True)
+            out_wide = jax.lax.dot_general(
+                p, v_rep, dimension_numbers=(((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+                precision=jax.lax.Precision.HIGHEST,
+            )  # (nq, nq*hd)
+            attn_s[0:1, :] = jnp.sum(out_wide * qmask, axis=0, keepdims=True)
             h = h + _w8a8(attn_s[:], o_q[l], o_s[l], o_m[l])
             x2 = _rms(h, post_ln[l], eps)
             gu = _w8a8(x2, gu_q[l], gu_s[l], gu_m[l])  # (M, 2*inter)
@@ -594,7 +615,7 @@ def _cp_kernel_call(seed, temp, x0, seen_in, kp, config, th, penalty, interpret)
             jax.ShapeDtypeStruct((ng, vocab), jnp.float32), # seen
         ),
         in_specs=(
-            [sm, sm, vm, vm, vm, vm]
+            [sm, sm, vm, vm, vm, vm, vm]
             + [vm] * 5                     # norms
             + [vm] * 12                    # layer weights + scales
             + [vm] * 6                     # head/emb scales
@@ -605,7 +626,7 @@ def _cp_kernel_call(seed, temp, x0, seen_in, kp, config, th, penalty, interpret)
             pltpu.VMEM((M_PAD, hc), jnp.float32),            # x_s
             pltpu.VMEM((M_PAD, nq * hd), jnp.float32),       # attn_s
             pltpu.VMEM((nl, nkv, n_pos, hd), jnp.float32),   # kv_k
-            pltpu.VMEM((nl, nkv, n_pos, hd), jnp.float32),   # kv_v
+            pltpu.VMEM((nl, n_pos, nkv * hd), jnp.float32),  # kv_v (row-major)
             pltpu.VMEM((2, vocab, hc), jnp.int8),            # head_buf
             pltpu.VMEM((8, hc), jnp.int8),                   # emb_row block
             pltpu.VMEM((8, th), jnp.int8),                   # embr_row block
@@ -621,6 +642,11 @@ def _cp_kernel_call(seed, temp, x0, seen_in, kp, config, th, penalty, interpret)
         interpret=pltpu.InterpretParams() if interpret else False,
     )(
         seed, temp, x0, seen_in, kp["cos"], kp["sin"],
+        # qmask[i, c] = 1 iff c // hd == i (f32; lane-block selector)
+        (
+            jax.lax.broadcasted_iota(jnp.int32, (nq, nq * hd), 1) // hd
+            == jax.lax.broadcasted_iota(jnp.int32, (nq, nq * hd), 0)
+        ).astype(jnp.float32),
         kp["in_ln"], kp["post_ln"], kp["q_ln"], kp["k_ln"], kp["fin_ln"],
         kp["qkv_q"], kp["qkv_s"], kp["qkv_m"],
         kp["o_q"], kp["o_s"], kp["o_m"],
