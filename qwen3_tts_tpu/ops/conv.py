@@ -86,6 +86,19 @@ def causal_conv1d(
     k_eff = (k - 1) * dilation + 1
     pad_left = k_eff - stride
     pad_right = causal_extra_pad(x.shape[1], k_eff, stride)
+    if groups == x.shape[-1] and stride == 1 and params["w"].shape[1] == 1:
+        # depthwise (ConvNeXt dwconv): K shifted channel-wise multiplies fuse
+        # into one XLA kernel — much faster than the grouped-conv lowering
+        w = params["w"].astype(x.dtype)  # [K, 1, C]
+        xp = jnp.pad(x, ((0, 0), (pad_left, pad_right), (0, 0)))
+        t_out = xp.shape[1] - k_eff + 1
+        y = sum(
+            xp[:, j * dilation : j * dilation + t_out, :] * w[j, 0]
+            for j in range(k)
+        )
+        if "b" in params:
+            y = y + params["b"].astype(y.dtype)
+        return y
     return conv1d(
         params, x,
         stride=stride, dilation=dilation, groups=groups,
@@ -125,8 +138,24 @@ def transpose_conv1d(params: dict, x: jax.Array, *, stride: int) -> jax.Array:
 
 def causal_transpose_conv1d(params: dict, x: jax.Array, *, stride: int) -> jax.Array:
     """Transposed conv then right-trim (K - stride): output length T * stride
-    (reference CausalTransposeConv1d, SpeechTokenizer.swift:174-204)."""
-    k = params["w"].shape[0]
+    (reference CausalTransposeConv1d, SpeechTokenizer.swift:174-204).
+
+    K == stride (the vocoder's ConvNeXt upsample stages) decomposes by
+    output phase into ONE matmul + a free reshape — out[t*s + p] =
+    x[t] @ w[s-1-p] — which is much faster on TPU than the general
+    lhs-dilated conv path (no dilated zeros ever materialize)."""
+    w = params["w"]  # [K, Cin, Cout], pre-flipped HIO
+    k = w.shape[0]
+    if k == stride:
+        bsz, t, _cin = x.shape
+        cout = w.shape[2]
+        wf = jnp.concatenate(
+            [w[stride - 1 - p] for p in range(stride)], axis=1
+        ).astype(x.dtype)  # [Cin, stride*Cout]
+        y = (x @ wf).reshape(bsz, t * stride, cout)
+        if "b" in params:
+            y = y + params["b"].astype(y.dtype)
+        return y
     y = transpose_conv1d(params, x, stride=stride)
     trim = k - stride
     if trim > 0:
