@@ -191,18 +191,27 @@ def audit_header(
         if tuple(actual) == tuple(shape) and dtype in _FLOAT_DTYPES:
             rep.dense_keys += 1
             continue
-        pk = _packed_shape(shape, bits, gs)
         scales_key = key[: -len(".weight")] + ".scales" if key.endswith(
             ".weight"
         ) else None
-        if (
-            pk is not None
-            and dtype == "U32"
-            and tuple(actual) == pk[0]
-            and scales_key is not None
-            and scales_key in header
-            and tuple(header[scales_key][1]) == pk[1]
-        ):
+        # mixed-bit checkpoints (the reference's own runtime scheme: 6-bit
+        # embed/qkv/heads, 4-bit rest) carry DIFFERENT widths per tensor —
+        # accept any valid bit width at the settings' group size
+        cand_bits = [bits] + [x for x in (6, 8, 4, 3, 2) if x != bits]
+        matched = False
+        for cb in cand_bits:
+            pk = _packed_shape(shape, cb, gs)
+            if (
+                pk is not None
+                and dtype == "U32"
+                and tuple(actual) == pk[0]
+                and scales_key is not None
+                and scales_key in header
+                and tuple(header[scales_key][1]) == pk[1]
+            ):
+                matched = True
+                break
+        if matched:
             rep.quantized_keys += 1
             consumed.add(scales_key)
             biases_key = scales_key.replace(".scales", ".biases")
@@ -210,8 +219,8 @@ def audit_header(
                 consumed.add(biases_key)
             continue
         rep.shape_mismatch.append(
-            f"{key}: expected {tuple(shape)} (or {bits}-bit packed), "
-            f"got {dtype} {tuple(actual)}"
+            f"{key}: expected {tuple(shape)} (or packed at any of "
+            f"{cand_bits} bits / g{gs}), got {dtype} {tuple(actual)}"
         )
 
     for key in header:

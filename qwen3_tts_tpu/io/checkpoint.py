@@ -202,6 +202,10 @@ def _embed_entry(
         entry = {"wq": weight, "scales": np.asarray(w[f"{prefix}.scales"], dtype)}
         if f"{prefix}.biases" in w:
             entry["biases"] = np.asarray(w[f"{prefix}.biases"], dtype)
+        if settings.enabled and settings.group_size != 64:
+            # group-size marker for derive_packed_dims (key encodes it; the
+            # zero-size leaf keeps it pytree-structural, static under jit)
+            entry[f"g{settings.group_size}"] = np.zeros((0,), np.int8)
         return entry
     return {"w": _embed_dense(w, prefix, settings, dtype)}
 
@@ -234,6 +238,8 @@ def load_talker_checkpoint(
     def lin(p: str) -> dict:
         entry = _linear_entry(w, p, dtype)
         if "wq" in entry:
+            if settings.enabled and settings.group_size != 64:
+                entry[f"g{settings.group_size}"] = np.zeros((0,), np.int8)
             # Pre-quantized checkpoint: add the Pallas kernel-layout copy on
             # TPU (bits/group from the checkpoint's quantization settings).
             import jax

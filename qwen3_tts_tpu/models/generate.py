@@ -405,10 +405,20 @@ def decode_chunk_batched(
     """
     # The mega-kernels are B=1 pallas_calls; under vmap the jnp paths must
     # run instead (their batched matmuls amortize weight reads across
-    # streams). NOTE: states must come from prefill() with the same stripped
-    # params — the talker kernel switches the cache layout.
+    # streams).
     params = {k: v for k, v in params.items() if k != "kernel"}
     cp_params = {k: v for k, v in cp_params.items() if k != "kernel"}
+
+    if "k2" in states["cache"]:
+        # states were prefd with kernel-bearing params (the TPU pipeline
+        # default), whose ring cache uses the mega-kernel layout — convert
+        # back so the vmapped jnp decode can read it
+        from ..ops.pallas.talker_megakernel import kernel_layout_to_cache
+
+        states = dict(states)
+        states["cache"] = jax.vmap(
+            lambda c: kernel_layout_to_cache(c, statics.config)
+        )(states["cache"])
 
     def one(state, temp):
         # reuse the single-stream body exactly (jit-inlined, not re-jitted)

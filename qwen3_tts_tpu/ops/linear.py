@@ -37,7 +37,21 @@ def derive_packed_dims(entry: dict) -> tuple[int, int, int]:
     embedding_lookup_quant(..., in_dim=...) instead."""
     words = entry["wq"].shape[-1]
     groups = entry["scales"].shape[-1]
-    for gs in (64, 32, 128, 16, 256):
+    # (words, groups) is ambiguous (4-bit/g32 == 2-bit/g64); loaders that
+    # know the checkpoint's group size record it as a zero-size marker leaf
+    # whose KEY encodes it ("g32") — pytree structure, so it stays static
+    # under jit — and that hint is tried first
+    hint = next(
+        (
+            int(k[1:])
+            for k in entry
+            if isinstance(k, str) and len(k) > 1 and k[0] == "g"
+            and k[1:].isdigit()
+        ),
+        None,
+    )
+    order = ([hint] if hint else []) + [64, 32, 128, 16, 256]
+    for gs in order:
         in_dim = groups * gs
         if in_dim == 0 or (words * 32) % in_dim:
             continue

@@ -437,10 +437,11 @@ def build_cp_kernel_params(cp_params: dict, config) -> dict:
         "sin": sin,
     }
     if proj is not None:
-        kp["proj_w"] = to_np(proj["w"])
-        kp["proj_b"] = (
-            to_np(proj["b"]) if "b" in proj else np.zeros((hc,), np.float32)
-        )
+        # wp/bp already materialized above via dense_entry_np — proj may be
+        # packed (pre-quantized checkpoints quantize this module too), so
+        # proj["w"] need not exist
+        kp["proj_w"] = wp
+        kp["proj_b"] = bp
     return kp
 
 

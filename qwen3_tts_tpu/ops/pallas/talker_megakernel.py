@@ -259,6 +259,22 @@ def cache_to_kernel_layout(cache: dict, config) -> dict:
     return {"k2": conv(cache["k"]), "v2": conv(cache["v"]), "pos": cache["pos"]}
 
 
+def kernel_layout_to_cache(cache2: dict, config) -> dict:
+    """Inverse of cache_to_kernel_layout: {"k2","v2": [C, nl*nkv*D], "pos"}
+    -> the jnp decode layout {"k","v": [nl, 1, nkv, C, D], "pos": [C]}.
+    Lets states prefd with kernel-bearing params feed the vmapped jnp
+    batched-decode path (generate.decode_chunk_batched)."""
+    c = cache2["pos"].shape[0]
+    nl = config.num_hidden_layers
+    nkv = config.num_key_value_heads
+    d = config.head_dim
+
+    def conv(x2):
+        return x2.reshape(c, nl, nkv, d).transpose(1, 2, 0, 3)[:, None]
+
+    return {"k": conv(cache2["k2"]), "v": conv(cache2["v2"]), "pos": cache2["pos"]}
+
+
 # ---------------------------------------------------------------------------
 # Wrapper
 # ---------------------------------------------------------------------------

@@ -144,7 +144,7 @@ class Qwen3TTSPipeline:
         def _knob(cfg_value, env_name):
             env = os.environ.get(env_name)
             if env is not None:
-                return env not in ("0", "false", "False")
+                return env.strip().lower() not in ("0", "false", "no", "off", "")
             if cfg_value is None:
                 return jax.default_backend() == "tpu"
             return cfg_value
