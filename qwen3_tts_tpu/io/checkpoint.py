@@ -61,6 +61,22 @@ def remap_talker_keys(weights: dict) -> dict:
     return out
 
 
+def _derived_bits(wq, scales, settings: QuantizationSettings) -> tuple[int, int]:
+    """Per-tensor (bits, group_size) derived from the packed shapes.
+
+    Mixed-width checkpoints (the reference's own runtime scheme: 6-bit
+    embed/qkv/heads, 4-bit rest, Qwen3TTSPipeline.swift:961-980) store
+    DIFFERENT widths per tensor, so settings.bits must never be trusted for
+    an individual tensor — settings only contributes the group-size hint."""
+    from ..ops.linear import derive_packed_dims
+
+    entry = {"wq": wq, "scales": scales}
+    if settings.enabled and settings.group_size != 64:
+        entry[f"g{settings.group_size}"] = np.zeros((0,), np.int8)
+    bits, gs, _ = derive_packed_dims(entry)
+    return bits, gs
+
+
 def dequantize_weights(weights: dict, settings: QuantizationSettings) -> dict:
     """Expand every packed (.weight uint + .scales [+ .biases]) triple to a
     float16 dense weight (reference Qwen3Talker.swift:141-175)."""
@@ -79,10 +95,11 @@ def dequantize_weights(weights: dict, settings: QuantizationSettings) -> dict:
             continue
         biases = out.get(biases_key)
         packed = np.ascontiguousarray(w).view(np.uint32) if w.dtype != np.uint32 else w
+        bits, gs = _derived_bits(packed, scales, settings)
         out[key] = dequantize_np(
             packed, np.asarray(scales, np.float32),
             np.asarray(biases, np.float32) if biases is not None else None,
-            bits=settings.bits, group_size=settings.group_size, dtype=np.float16,
+            bits=bits, group_size=gs, dtype=np.float16,
         )
         drop.update((scales_key, biases_key))
     for k in drop:
@@ -183,9 +200,10 @@ def _embed_dense(w: dict, prefix: str, settings: QuantizationSettings, dtype) ->
     """Embedding table, dequantized if stored packed (lookups stay dense)."""
     weight = w[f"{prefix}.weight"]
     if weight.dtype == np.uint32 and f"{prefix}.scales" in w:
+        bits, gs = _derived_bits(weight, w[f"{prefix}.scales"], settings)
         return dequantize_np(
             weight, w[f"{prefix}.scales"], w.get(f"{prefix}.biases"),
-            bits=settings.bits, group_size=settings.group_size, dtype=dtype,
+            bits=bits, group_size=gs, dtype=dtype,
         )
     return np.asarray(weight, dtype)
 
@@ -241,13 +259,16 @@ def load_talker_checkpoint(
             if settings.enabled and settings.group_size != 64:
                 entry[f"g{settings.group_size}"] = np.zeros((0,), np.int8)
             # Pre-quantized checkpoint: add the Pallas kernel-layout copy on
-            # TPU (bits/group from the checkpoint's quantization settings).
+            # TPU. Bits/group are derived PER TENSOR from its shapes (mixed-
+            # width checkpoints carry different widths; add_kernel_layout
+            # itself no-ops for widths outside PALLAS_BITS).
             import jax
 
             if jax.default_backend() == "tpu":
                 from ..ops.pallas.quant_matmul import add_kernel_layout
 
-                entry = add_kernel_layout(entry, settings.bits, settings.group_size)
+                bits, gs = _derived_bits(entry["wq"], entry["scales"], settings)
+                entry = add_kernel_layout(entry, bits, gs)
         return entry
     norm = lambda p: {"w": np.asarray(w[f"{p}.weight"], dtype)}  # noqa: E731
 

@@ -379,9 +379,30 @@ def filter_valid_frames(frames: np.ndarray) -> np.ndarray:
 # ---------------------------------------------------------------------------
 
 
-def stack_states(states: list[dict]) -> dict:
-    """Stack B per-stream decode states on a new leading axis."""
-    return jax.tree.map(lambda *xs: jnp.stack(xs), *states)
+def stack_states(states: list[dict], config=None) -> dict:
+    """Stack B per-stream decode states on a new leading axis.
+
+    States prefilled with kernel-bearing params carry the mega-kernel ring
+    cache layout ("k2"); that layout is converted to the plain k/v layout
+    HERE — outside the decode_chunk_batched jit boundary — so the batched
+    program sees ONE input signature on every call (converting inside the
+    jit would give the first call a k2 pytree and later calls a k/v pytree,
+    forcing a second full trace of the large batched-decode program). Pass
+    the model config whenever states may carry the kernel layout."""
+    out = jax.tree.map(lambda *xs: jnp.stack(xs), *states)
+    if "k2" in out["cache"]:
+        if config is None:
+            raise ValueError(
+                "states carry the mega-kernel cache layout; pass config= to "
+                "stack_states so it converts outside the jit boundary"
+            )
+        from ..ops.pallas.talker_megakernel import kernel_layout_to_cache
+
+        out = dict(out)
+        out["cache"] = jax.vmap(
+            lambda c: kernel_layout_to_cache(c, config)
+        )(out["cache"])
+    return out
 
 
 @functools.partial(jax.jit, static_argnames=("statics",), donate_argnames=("states",))
@@ -410,15 +431,11 @@ def decode_chunk_batched(
     cp_params = {k: v for k, v in cp_params.items() if k != "kernel"}
 
     if "k2" in states["cache"]:
-        # states were prefd with kernel-bearing params (the TPU pipeline
-        # default), whose ring cache uses the mega-kernel layout — convert
-        # back so the vmapped jnp decode can read it
-        from ..ops.pallas.talker_megakernel import kernel_layout_to_cache
-
-        states = dict(states)
-        states["cache"] = jax.vmap(
-            lambda c: kernel_layout_to_cache(c, statics.config)
-        )(states["cache"])
+        # structure is static at trace time, so this is a trace-time check
+        raise ValueError(
+            "kernel-layout states must be converted before the jit boundary: "
+            "use stack_states(states, config=statics.config)"
+        )
 
     def one(state, temp):
         # reuse the single-stream body exactly (jit-inlined, not re-jitted)

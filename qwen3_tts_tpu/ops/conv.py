@@ -86,7 +86,12 @@ def causal_conv1d(
     k_eff = (k - 1) * dilation + 1
     pad_left = k_eff - stride
     pad_right = causal_extra_pad(x.shape[1], k_eff, stride)
-    if groups == x.shape[-1] and stride == 1 and params["w"].shape[1] == 1:
+    if (
+        groups == x.shape[-1]
+        and stride == 1
+        and params["w"].shape[1] == 1
+        and params["w"].shape[2] == x.shape[-1]  # channel multiplier 1 only
+    ):
         # depthwise (ConvNeXt dwconv): K shifted channel-wise multiplies fuse
         # into one XLA kernel — much faster than the grouped-conv lowering
         w = params["w"].astype(x.dtype)  # [K, 1, C]

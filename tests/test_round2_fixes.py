@@ -87,8 +87,8 @@ def test_batched_decode_accepts_kernel_layout_states():
         statics,
     )
     got_f, got_c, _, _ = G.decode_chunk_batched(
-        pk, cp_params, G.stack_states([kernel_state]), jnp.float32(0.0),
-        statics,
+        pk, cp_params, G.stack_states([kernel_state], config=cfg),
+        jnp.float32(0.0), statics,
     )
     np.testing.assert_array_equal(np.asarray(got_f), np.asarray(ref_f))
     assert int(got_c[0]) == int(ref_c[0])

@@ -168,7 +168,8 @@ def test_decode_window_trim_schedule(models, tok):
                                            jnp.float32(0.9), statics)
     # after 16 steps one trim boundary (step 15) passed; window_start =
     # max(0, p+15-192) which is 0 for tiny prompts — check step counter advanced
-    assert int(state["step"]) == int(count) if bool(state["eos"]) else 16
+    expected = int(count) if bool(state["eos"]) else 16
+    assert int(state["step"]) == expected
 
 
 def test_max_tokens_non_multiple_of_chunk(models, tok):
