@@ -46,6 +46,22 @@ def wav_data(samples: np.ndarray, sample_rate: int = 24000) -> bytes:
     return _header(len(samples), sample_rate) + _pcm16(samples).tobytes()
 
 
+def streaming_wav_header(sample_rate: int = 24000) -> bytes:
+    """WAV header for a stream of unknown length: the RIFF/data sizes carry
+    the 0xFFFFFFFF sentinel players treat as 'read until EOF' (the common
+    convention for live WAV streams; a finite rewrite needs seekability,
+    which an HTTP chunked response does not have)."""
+    h = bytearray(_header(0, sample_rate))
+    h[4:8] = struct.pack("<I", 0xFFFFFFFF)
+    h[40:44] = struct.pack("<I", 0xFFFFFFFF - 36)
+    return bytes(h)
+
+
+def pcm16_bytes(samples: np.ndarray) -> bytes:
+    """Raw 16-bit little-endian PCM for appending to a streamed WAV."""
+    return _pcm16(np.asarray(samples).reshape(-1)).tobytes()
+
+
 def write_wav(samples: np.ndarray, path: str | os.PathLike, sample_rate: int = 24000) -> None:
     with open(path, "wb") as f:
         f.write(wav_data(samples, sample_rate))

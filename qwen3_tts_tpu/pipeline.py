@@ -492,6 +492,66 @@ class Qwen3TTSPipeline:
             outputs[i] = _clean(wav[j][:n])
         return outputs
 
+    def generate_many_stream(
+        self,
+        texts: list[str],
+        speakers: list[str] | str = "",
+        *,
+        temperature: float | None = None,
+        max_tokens: int | None = None,
+        batch_size: int = 8,
+        chunk_steps: int = 18,
+        seed: int = 0,
+    ) -> Iterator[tuple[int, AudioChunk]]:
+        """Streaming continuous-batching synthesis: yields (text_index,
+        AudioChunk) pairs AS AUDIO BECOMES READY while decoding continues —
+        up to batch_size utterances decode in lockstep on one chip, finished
+        slots admit queued texts mid-flight, and the vocoder runs batched
+        across streams on ready 18-frame chunks (models/serving.py
+        ContinuousServer.serve_audio)."""
+        from .models import serving as srv
+
+        if isinstance(speakers, str):
+            speakers = [speakers] * len(texts)
+        pds = []
+        keep: list[int] = []
+        for i, (text, speaker) in enumerate(zip(texts, speakers)):
+            pd = prompt_mod.assemble_prompt(
+                self.params, self.config, self.tokenizer, text, speaker=speaker
+            )
+            if pd is not None:
+                pds.append(pd)
+                keep.append(i)
+        if not pds:
+            return
+        p_bucket = gen_mod.pick_bucket(
+            max(int(pd.input_embeds.shape[1]) for pd in pds)
+        )
+        t_bucket = gen_mod.pick_bucket(
+            max(int(pd.trailing_hidden.shape[1]) for pd in pds),
+            gen_mod.TRAILING_BUCKETS,
+        )
+        server = srv.ContinuousServer(
+            self.params, self.cp_params, self.config,
+            batch_size=min(batch_size, max(1, len(pds))),
+            prompt_bucket=p_bucket, trailing_bucket=t_bucket,
+            chunk_steps=chunk_steps, seed=seed,
+        )
+        for chunk in server.serve_audio(
+            pds, self.vocoder_params, self.speech_config.decoder_config,
+            temperature=(
+                temperature
+                if temperature is not None
+                else self.pipeline_config.default_temperature
+            ),
+            max_tokens=max_tokens or self.pipeline_config.default_max_tokens,
+        ):
+            yield keep[chunk.request], AudioChunk(
+                samples=_clean(chunk.samples),
+                token_range=chunk.token_range,
+                is_final=chunk.is_final,
+            )
+
     # -- streaming -------------------------------------------------------
 
     def generate_stream(

@@ -1,42 +1,70 @@
-"""Minimal HTTP TTS server on top of Qwen3TTSPipeline.
+"""HTTP TTS server on top of Qwen3TTSPipeline.
 
-A production-shaped surface the reference lacks entirely (its only
-entry point is a CLI example, main.swift:12-27): POST text, get a WAV.
-Stdlib-only (http.server) so it runs anywhere the package does; generation
-is serialized through a lock because a pipeline instance holds one set of
-jit caches (the multi-request scaling path is ContinuousServer /
-generate_many on the batch axis — docs/SERVING.md — with one server
-process per chip behind a load balancer).
+A production-shaped surface the reference lacks entirely (its only entry
+point is a CLI example, main.swift:12-27). Stdlib-only (http.server) so it
+runs anywhere the package does; generation is serialized through a lock
+because a pipeline instance holds one set of jit caches. Scaling shapes:
+the streaming endpoint overlaps token decode with vocoder synthesis
+(pipeline.generate_stream's depth-1 prefetch), and the batch endpoint
+decodes up to `batch_size` utterances in lockstep on one chip with
+continuous admission (models/serving.py ContinuousServer) — run one server
+process per chip behind a load balancer.
 
 Endpoints:
   GET  /health            -> {"status": "ok", "speakers": [...]}
-  POST /tts               -> audio/wav
+  POST /tts               -> audio/wav (one-shot)
         body JSON: {"text": str, "speaker": str (optional),
                     "temperature": float (optional),
                     "max_tokens": int (optional), "seed": int (optional)}
+  POST /tts?stream=1      -> chunked audio/wav: a streaming WAV header, then
+        16-bit PCM appended as each 18-frame chunk leaves the vocoder
+        (first bytes arrive at time-to-first-audio, not end of synthesis).
+        Also enabled by {"stream": true} in the body.
+  POST /tts_many          -> {"wavs": [base64 WAV, ...], "sample_rate": N}
+        body JSON: {"texts": [str, ...], "speaker": str | "speakers": [str],
+                    "temperature"/"max_tokens"/"seed" as above,
+                    "batch_size": int (default 8)} — served by the lockstep
+        continuous-batching decoder, vocoder batched across streams.
 
 Run: python -m qwen3_tts_tpu.server <model-dir> [port]
 """
 
 from __future__ import annotations
 
+import base64
 import json
 import sys
 import threading
 from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+from urllib.parse import parse_qs, urlparse
 
 import numpy as np
 
-from .io.wav import wav_data
+from .io.wav import pcm16_bytes, streaming_wav_header, wav_data
 from .pipeline import Qwen3TTSError, Qwen3TTSPipeline
 
 MAX_BODY_BYTES = 1 << 20  # 1 MiB of JSON is far beyond any sane request
+
+
+def _gen_kwargs(req: dict) -> dict:
+    kwargs = {}
+    if "temperature" in req:
+        kwargs["temperature"] = float(req["temperature"])
+    if "max_tokens" in req:
+        kwargs["max_tokens"] = int(req["max_tokens"])
+    if "seed" in req:
+        kwargs["seed"] = int(req["seed"])
+    return kwargs
 
 
 def make_handler(pipeline: Qwen3TTSPipeline):
     lock = threading.Lock()
 
     class Handler(BaseHTTPRequestHandler):
+        # chunked transfer needs HTTP/1.1; every non-chunked response sets
+        # Content-Length so keep-alive stays correct
+        protocol_version = "HTTP/1.1"
+
         def _send(self, code: int, body: bytes, ctype: str) -> None:
             self.send_response(code)
             self.send_header("Content-Type", ctype)
@@ -47,8 +75,14 @@ def make_handler(pipeline: Qwen3TTSPipeline):
         def _send_json(self, code: int, obj) -> None:
             self._send(code, json.dumps(obj).encode(), "application/json")
 
+        def _write_chunk(self, data: bytes) -> None:
+            if data:
+                self.wfile.write(f"{len(data):X}\r\n".encode())
+                self.wfile.write(data)
+                self.wfile.write(b"\r\n")
+
         def do_GET(self):  # noqa: N802 (http.server API)
-            if self.path == "/health":
+            if urlparse(self.path).path == "/health":
                 self._send_json(
                     200,
                     {"status": "ok", "speakers": pipeline.available_speakers},
@@ -56,37 +90,99 @@ def make_handler(pipeline: Qwen3TTSPipeline):
             else:
                 self._send_json(404, {"error": "unknown path"})
 
-        def do_POST(self):  # noqa: N802
-            if self.path != "/tts":
-                self._send_json(404, {"error": "unknown path"})
+        def _read_body(self) -> dict | None:
+            n = int(self.headers.get("Content-Length", "0"))
+            if n > MAX_BODY_BYTES:
+                self._send_json(413, {"error": "body too large"})
+                return None
+            return json.loads(self.rfile.read(n) or b"{}")
+
+        def _tts(self, req: dict, stream: bool) -> None:
+            text = req.get("text", "")
+            if not isinstance(text, str) or not text.strip():
+                self._send_json(400, {"error": "missing 'text'"})
                 return
-            try:
-                n = int(self.headers.get("Content-Length", "0"))
-                if n > MAX_BODY_BYTES:
-                    self._send_json(413, {"error": "body too large"})
-                    return
-                req = json.loads(self.rfile.read(n) or b"{}")
-                text = req.get("text", "")
-                if not isinstance(text, str) or not text.strip():
-                    self._send_json(400, {"error": "missing 'text'"})
-                    return
-                kwargs = {}
-                if "temperature" in req:
-                    kwargs["temperature"] = float(req["temperature"])
-                if "max_tokens" in req:
-                    kwargs["max_tokens"] = int(req["max_tokens"])
-                if "seed" in req:
-                    kwargs["seed"] = int(req["seed"])
+            kwargs = _gen_kwargs(req)
+            speaker = req.get("speaker", "")
+            if not stream:
                 with lock:
-                    samples = pipeline.generate(
-                        text, req.get("speaker", ""), **kwargs
-                    )
-                self._send(
-                    200, wav_data(np.asarray(samples)), "audio/wav"
+                    samples = pipeline.generate(text, speaker, **kwargs)
+                self._send(200, wav_data(np.asarray(samples)), "audio/wav")
+                return
+            # Chunked streaming: commit the 200 + header up front, then PCM
+            # per vocoder chunk. Mid-stream errors can only truncate the
+            # stream (the status line is already on the wire).
+            self.send_response(200)
+            self.send_header("Content-Type", "audio/wav")
+            self.send_header("Transfer-Encoding", "chunked")
+            self.end_headers()
+            self._write_chunk(streaming_wav_header(pipeline.sample_rate))
+            with lock:
+                for chunk in pipeline.generate_stream(text, speaker, **kwargs):
+                    if len(chunk.samples):
+                        self._write_chunk(pcm16_bytes(chunk.samples))
+            self.wfile.write(b"0\r\n\r\n")
+
+        def _tts_many(self, req: dict) -> None:
+            texts = req.get("texts")
+            if (
+                not isinstance(texts, list)
+                or not texts
+                or not all(isinstance(t, str) and t.strip() for t in texts)
+            ):
+                self._send_json(400, {"error": "missing 'texts'"})
+                return
+            speakers = req.get("speakers", req.get("speaker", ""))
+            kwargs = _gen_kwargs(req)
+            batch_size = int(req.get("batch_size", 8))
+            buckets: list[list[np.ndarray]] = [[] for _ in texts]
+            with lock:
+                for idx, chunk in pipeline.generate_many_stream(
+                    texts, speakers, batch_size=batch_size, **kwargs
+                ):
+                    if len(chunk.samples):
+                        buckets[idx].append(chunk.samples)
+            wavs = []
+            for parts in buckets:
+                samples = (
+                    np.concatenate(parts) if parts else np.zeros(0, np.float32)
                 )
+                wavs.append(
+                    base64.b64encode(
+                        wav_data(samples, pipeline.sample_rate)
+                    ).decode()
+                )
+            self._send_json(
+                200, {"wavs": wavs, "sample_rate": pipeline.sample_rate}
+            )
+
+        def do_POST(self):  # noqa: N802
+            url = urlparse(self.path)
+            try:
+                req = self._read_body()
+                if req is None:
+                    return
+                if url.path == "/tts":
+                    q = parse_qs(url.query)
+                    stream = bool(req.get("stream")) or (
+                        q.get("stream", ["0"])[0].lower()
+                        in ("1", "true", "yes")
+                    )
+                    self._tts(req, stream)
+                elif url.path == "/tts_many":
+                    self._tts_many(req)
+                else:
+                    self._send_json(404, {"error": "unknown path"})
             except (Qwen3TTSError, ValueError, TypeError,
                     json.JSONDecodeError) as e:
                 self._send_json(400, {"error": f"{type(e).__name__}: {e}"})
+            except BrokenPipeError:
+                pass  # client hung up mid-stream
+            except Exception as e:  # XLA RuntimeError / OOM: answer, don't drop
+                try:
+                    self._send_json(500, {"error": f"{type(e).__name__}: {e}"})
+                except Exception:
+                    pass  # headers already sent on a streaming response
 
         def log_message(self, fmt, *args):  # quiet by default
             pass

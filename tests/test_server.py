@@ -1,6 +1,7 @@
 """End-to-end test of the HTTP TTS server (qwen3_tts_tpu/server.py) against
 a tiny pipeline: health check, synthesis to WAV, and error paths."""
 
+import base64
 import http.client
 import json
 
@@ -52,6 +53,44 @@ def test_http_server_round_trip(tmp_path):
         conn.request("POST", "/nope", body="{}")
         r = conn.getresponse()
         assert r.status == 404
+        r.read()
+
+        # streaming: chunked transfer, WAV header first, PCM appended per
+        # vocoder chunk (http.client reassembles the chunked body)
+        conn.request("POST", "/tts?stream=1", body=body,
+                     headers={"Content-Type": "application/json"})
+        r = conn.getresponse()
+        assert r.status == 200
+        assert r.getheader("Transfer-Encoding") == "chunked"
+        assert r.getheader("Content-Type") == "audio/wav"
+        wav_stream = r.read()
+        assert wav_stream[:4] == b"RIFF"
+        streamed = wav_to_float_samples(wav_stream)
+        assert streamed.size > 0
+
+        # continuous-batching endpoint: one WAV per text
+        conn.request(
+            "POST", "/tts_many",
+            body=json.dumps({
+                "texts": ["Batched one.", "Batched two, longer text."],
+                "speaker": health["speakers"][0],
+                "max_tokens": 6, "batch_size": 2, "seed": 2,
+            }),
+            headers={"Content-Type": "application/json"},
+        )
+        r = conn.getresponse()
+        obj = json.loads(r.read())
+        assert r.status == 200 and len(obj["wavs"]) == 2
+        assert obj["sample_rate"] == 24000
+        for w in obj["wavs"]:
+            decoded = wav_to_float_samples(base64.b64decode(w))
+            assert decoded.size > 0
+
+        # malformed tts_many
+        conn.request("POST", "/tts_many", body=json.dumps({"texts": []}),
+                     headers={"Content-Type": "application/json"})
+        r = conn.getresponse()
+        assert r.status == 400
         r.read()
     finally:
         httpd.shutdown()
