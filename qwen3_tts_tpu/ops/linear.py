@@ -67,7 +67,19 @@ def linear(params: dict, x: jax.Array) -> jax.Array:
     """y = x @ W.T (+ b). Quantized weights go through the Pallas TPU kernel
     (ops/pallas/quant_matmul) for word-aligned bit widths, else an inline
     dequant that XLA fuses into the matmul."""
-    if "w8" in params:
+    if "w8r" in params:
+        # Rowwise int8 — the mega-kernels' weight format (ops/pallas/
+        # {talker,cp}_megakernel.py), shared here so prefill/serving read the
+        # SAME HBM buffers the decode kernels stream (no dense copy resident):
+        # w[o,:] = s[o]*q[o,:] + m[o]  =>  y[o] = s[o]*(x . q[o]) + m[o]*sum(x)
+        # — the dequant folds into the output side, never materializing w.
+        q = jnp.swapaxes(params["w8r"], -1, -2).astype(x.dtype)
+        y = jnp.matmul(x, q, preferred_element_type=jnp.float32)
+        s = params["s"][..., 0, :].astype(jnp.float32)
+        m = params["m"][..., 0, :].astype(jnp.float32)
+        xsum = jnp.sum(x.astype(jnp.float32), axis=-1, keepdims=True)
+        y = (y * s + m * xsum).astype(x.dtype)
+    elif "w8" in params:
         # int8 affine storage: dequant is a cast + fused multiply-add. On TPU
         # the Pallas kernel dequantizes tile-by-tile in VMEM so HBM weight
         # traffic stays at 1 byte/weight (XLA would materialize the dequantized
@@ -98,6 +110,13 @@ def embedding_lookup(params: dict, ids: jax.Array, dtype=None) -> jax.Array:
     if "wq" in params:
         _, _, in_dim = derive_packed_dims(params)
         return embedding_lookup_quant(params, ids, in_dim, dtype=dtype)
+    if "w8r" in params:
+        # rowwise int8 single table ({"w8r" [V,D], "s"/"m" [1,V]}; see linear())
+        rows = jnp.take(params["w8r"], ids, axis=0).astype(jnp.float32)
+        s = jnp.take(params["s"][0], ids, axis=0).astype(jnp.float32)
+        m = jnp.take(params["m"][0], ids, axis=0).astype(jnp.float32)
+        out = rows * s[..., None] + m[..., None]
+        return out.astype(dtype) if dtype is not None else out
     if "w8" in params:
         rows = jnp.take(params["w8"], ids, axis=0)
         scales = jnp.take(params["scales"], ids, axis=0)
@@ -123,6 +142,13 @@ def table_row(entry: dict, k_idx, code, dtype=None) -> jax.Array:
     if "w" in entry:
         row = jnp.asarray(entry["w"])[k_idx, code]
         return row.astype(dtype) if dtype is not None else row
+    if "w8r" in entry:
+        # rowwise int8 (mega-kernel format; see linear()): per-row scale/mid
+        rows = jnp.asarray(entry["w8r"])[k_idx, code].astype(jnp.float32)
+        s = jnp.asarray(entry["s"])[k_idx, 0, code].astype(jnp.float32)
+        m = jnp.asarray(entry["m"])[k_idx, 0, code].astype(jnp.float32)
+        out = rows * s[..., None] + m[..., None]
+        return out.astype(dtype) if dtype is not None else out
     if "w8" in entry:
         in_dim = entry["w8"].shape[-1]
         groups = entry["scales"].shape[-1]
@@ -161,6 +187,14 @@ def table_matmul(entry: dict, k_idx, x: jax.Array) -> jax.Array:
     tables dequantize inline (XLA fuses into the matmul operand)."""
     if "w" in entry:
         return x @ jnp.asarray(entry["w"])[k_idx].T.astype(x.dtype)
+    if "w8r" in entry:
+        # rowwise int8 (mega-kernel format): dequant folds into the output
+        q = jnp.asarray(entry["w8r"])[k_idx].astype(x.dtype)      # [V, K]
+        y = jnp.matmul(x, q.T, preferred_element_type=jnp.float32)
+        s = jnp.asarray(entry["s"])[k_idx, 0].astype(jnp.float32)  # [V]
+        m = jnp.asarray(entry["m"])[k_idx, 0].astype(jnp.float32)
+        xsum = jnp.sum(x.astype(jnp.float32), axis=-1, keepdims=True)
+        return (y * s + m * xsum).astype(x.dtype)
     if "w8" in entry:
         w8 = jnp.asarray(entry["w8"])[k_idx].astype(x.dtype)
         in_dim = entry["w8"].shape[-1]

@@ -308,6 +308,19 @@ def quantize_rowwise_int8_np(
     return q.astype(np.int8), scale, mid
 
 
+def quantize_entry_rowwise_device(entry: dict) -> dict:
+    """Dense {"w"[, "b"]} linear/table entry -> rowwise-int8 {"w8r","s","m"}
+    on device (the mega-kernels' weight format, readable by ops/linear.py's
+    linear/table_row/table_matmul/embedding_lookup w8r branches). Used to
+    quantize the non-kernel-shared subtrees (embeddings, text projection)
+    without host round trips."""
+    q, s, m = quantize_rowwise_int8_jnp(jnp.asarray(entry["w"]))
+    out = {"w8r": q, "s": s[..., None, :], "m": m[..., None, :]}
+    if "b" in entry:
+        out["b"] = entry["b"]
+    return out
+
+
 def quantize_rowwise_int8_jnp(
     w: jax.Array,
 ) -> tuple[jax.Array, jax.Array, jax.Array]:

@@ -59,15 +59,21 @@ class Qwen3TTSPipelineConfiguration:
     """Pipeline options (reference Qwen3TTSPipeline.swift:22-54).
 
     runtime_quantization_mode:
+      "int8"      — TPU-native preset (default): linears + embeddings int8
+                    affine; when the mega-kernels are on, prefill/serving
+                    SHARE the kernels' rowwise-int8 buffers, so no dense or
+                    duplicate copy of any layer weight stays resident
       "mixed_4_6" — the reference's scheme (6-bit qkv/heads, 4-bit rest,
-                    group 64; Qwen3TTSPipeline.swift:961-980)
-      "int8"      — TPU-native preset: all linears int8 affine, dequantized
-                    in VMEM by the Pallas kernel (fastest quantized decode
-                    on v5e; see ops/pallas/quant_matmul.py)
+                    group 64; Qwen3TTSPipeline.swift:961-980), for parity
+                    work; slower on TPU (sub-byte unpack is VPU-bound)
+
+    apply_runtime_quantization defaults True — reference parity
+    (applyRuntimeQuantization = true, Qwen3TTSPipeline.swift:41): the
+    resident model is quantized unless the caller opts out.
     """
 
-    apply_runtime_quantization: bool = False
-    runtime_quantization_mode: str = "mixed_4_6"
+    apply_runtime_quantization: bool = True
+    runtime_quantization_mode: str = "int8"
     default_temperature: float = 0.85
     default_max_tokens: int = 2400
     default_streaming_chunk_size: int = 12
@@ -128,18 +134,6 @@ class Qwen3TTSPipeline:
         # kernel builders need the pre-quantization trees
         cp_dense = cp_params
         talker_dense = params
-        if (
-            self.pipeline_config.apply_runtime_quantization
-            and self.config.quantization is None
-        ):
-            if self.pipeline_config.runtime_quantization_mode == "int8":
-                from .ops.quant import apply_int8_quantization
-
-                params = apply_int8_quantization(params)
-                cp_params = apply_int8_quantization(cp_params)
-            else:
-                params = apply_mixed_quantization(params)
-                cp_params = apply_mixed_quantization(cp_params)
 
         def _knob(cfg_value, env_name):
             env = os.environ.get(env_name)
@@ -149,16 +143,48 @@ class Qwen3TTSPipeline:
                 return jax.default_backend() == "tpu"
             return cfg_value
 
-        if _knob(self.pipeline_config.use_cp_megakernel, "QWEN3TTS_CP_KERNEL"):
+        use_cp_k = _knob(self.pipeline_config.use_cp_megakernel, "QWEN3TTS_CP_KERNEL")
+        use_talker_k = _knob(
+            self.pipeline_config.use_talker_megakernel, "QWEN3TTS_TALKER_KERNEL"
+        )
+        rq = (
+            self.pipeline_config.apply_runtime_quantization
+            and self.config.quantization is None
+        )
+        # Buffer sharing (int8 mode + kernels on): the jnp prefill/serving
+        # paths read the mega-kernels' own rowwise-int8 weights ("w8r"
+        # entries attached after device_put), so those subtrees are neither
+        # quantized here nor uploaded — the kernel copy is THE resident copy.
+        int8_mode = self.pipeline_config.runtime_quantization_mode == "int8"
+        self._share_talker = rq and int8_mode and use_talker_k
+        self._share_cp = rq and int8_mode and use_cp_k
+        _TALKER_SHARED = ("layers", "codec_head")
+        _CP_SHARED = ("layers", "lm_head", "codec_embedding")
+
+        def _quantize(tree, shared):
+            sub = {k: v for k, v in tree.items() if k not in shared}
+            if int8_mode:
+                from .ops.quant import apply_int8_quantization
+
+                sub = apply_int8_quantization(sub)
+            else:
+                sub = apply_mixed_quantization(sub)
+            return {**tree, **sub}
+
+        if rq:
+            params = _quantize(
+                params, _TALKER_SHARED if self._share_talker else ()
+            )
+            cp_params = _quantize(cp_params, _CP_SHARED if self._share_cp else ())
+
+        if use_cp_k:
             from .ops.pallas.cp_megakernel import build_cp_kernel_params
 
             cp_params = dict(cp_params)
             cp_params["kernel"] = build_cp_kernel_params(
                 cp_dense, self.config.code_predictor_config
             )
-        if _knob(
-            self.pipeline_config.use_talker_megakernel, "QWEN3TTS_TALKER_KERNEL"
-        ):
+        if use_talker_k:
             from .ops.pallas.talker_megakernel import build_talker_kernel_params
 
             params = dict(params)
@@ -166,6 +192,30 @@ class Qwen3TTSPipeline:
                 talker_dense, self.config
             )
         del cp_dense, talker_dense
+
+        # Drop the host copies of shared subtrees before upload. Entries with
+        # a bias stay dense (the kernels carry no bias; none of the reference
+        # checkpoints use linear biases, but correctness beats memory here).
+        def _sharable(entry: dict) -> bool:
+            return "b" not in entry
+
+        if self._share_talker:
+            lay = dict(params["layers"])
+            for name in ("qkv_proj", "o_proj", "gateup_proj", "down_proj"):
+                if _sharable(lay[name]):
+                    lay.pop(name)
+            params = dict(params, layers=lay)
+            if _sharable(params["codec_head"]):
+                params.pop("codec_head")
+        if self._share_cp:
+            lay = dict(cp_params["layers"])
+            for name in ("qkv_proj", "o_proj", "gateup_proj", "down_proj"):
+                if _sharable(lay[name]):
+                    lay.pop(name)
+            cp_params = dict(cp_params, layers=lay)
+            for name in ("lm_head", "codec_embedding"):
+                if _sharable(cp_params[name]):
+                    cp_params.pop(name)
 
         # Cast on host (ml_dtypes handles bf16 in numpy), then one async
         # device_put of the whole tree — per-leaf jnp.asarray converts would
@@ -201,6 +251,39 @@ class Qwen3TTSPipeline:
 
         self.params = jax.device_put(cast_tree(params))
         self.cp_params = jax.device_put(cast_tree(cp_params))
+
+        # Attach the shared views: the SAME device buffers appear both in the
+        # kernel subtree (streamed by the Pallas decode kernels) and as "w8r"
+        # linear/table entries (read by jnp prefill + serving) — zero extra HBM.
+        def _view(k, pre):
+            return {"w8r": k[f"{pre}_q"], "s": k[f"{pre}_s"], "m": k[f"{pre}_m"]}
+
+        _LINS = (
+            ("qkv_proj", "qkv"), ("o_proj", "o"),
+            ("gateup_proj", "gu"), ("down_proj", "dn"),
+        )
+        if self._share_talker:
+            k = self.params["kernel"]
+            lay = dict(self.params["layers"])
+            for name, pre in _LINS:
+                if name not in lay:
+                    lay[name] = _view(k, pre)
+            self.params = dict(self.params, layers=lay)
+            if "codec_head" not in self.params:
+                self.params["codec_head"] = _view(k, "ch")
+        if self._share_cp:
+            k = self.cp_params["kernel"]
+            lay = dict(self.cp_params["layers"])
+            for name, pre in _LINS:
+                if name not in lay:
+                    lay[name] = _view(k, pre)
+            self.cp_params = dict(self.cp_params, layers=lay)
+            if "lm_head" not in self.cp_params:
+                self.cp_params["lm_head"] = _view(k, "head")
+            if "codec_embedding" not in self.cp_params:
+                # raw (un-projected) tables — the jnp path applies
+                # small_to_mtp_projection itself
+                self.cp_params["codec_embedding"] = _view(k, "embr")
 
         # Speaker encoder (optional; "speaker_encoder." keys in the main file,
         # reference Qwen3TTSPipeline.swift:156-170)
@@ -253,6 +336,25 @@ class Qwen3TTSPipeline:
             except ImportError:
                 self.audio_encoder = None
         del st_weights
+
+    def model_resident_bytes(self) -> int:
+        """Device bytes held by the resident model (talker + code predictor +
+        vocoder + encoders), counting buffers shared between the kernel
+        subtrees and the jnp "w8r" views once. The reference's analogue is
+        its quantized resident model (Qwen3TTSPipeline.swift:961-980)."""
+        seen: set[int] = set()
+        total = 0
+        trees = [self.params, self.cp_params, self.vocoder_params]
+        if self.speaker_encoder is not None:
+            trees.append(getattr(self.speaker_encoder, "params", None))
+        if self.audio_encoder is not None:
+            trees.append(getattr(self.audio_encoder, "params", None))
+        for tree in trees:
+            for leaf in jax.tree.leaves(tree):
+                if hasattr(leaf, "nbytes") and id(leaf) not in seen:
+                    seen.add(id(leaf))
+                    total += leaf.nbytes
+        return total
 
     # -- capability surface (reference Qwen3TTSPipeline.swift:77-104) -------
 

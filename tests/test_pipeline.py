@@ -161,7 +161,10 @@ def test_runtime_quantization_config(model_dir):
 
     pl = Qwen3TTSPipeline(
         model_dir,
-        Qwen3TTSPipelineConfiguration(apply_runtime_quantization=True),
+        Qwen3TTSPipelineConfiguration(
+            apply_runtime_quantization=True,
+            runtime_quantization_mode="mixed_4_6",  # reference 4/6-bit scheme
+        ),
         dtype=jnp.float32,
     )
     assert "wq" in pl.params["layers"]["qkv_proj"]

@@ -1,0 +1,161 @@
+"""Rowwise-int8 ("w8r") weight storage + kernel buffer sharing tests.
+
+Round-3 memory work (VERDICT r2 item 2): the mega-kernels' rowwise-int8
+weights become THE resident copy — jnp prefill/serving read the same buffers
+through the "w8r" entry kind, and runtime quantization is the default
+(reference parity, Qwen3TTSPipeline.swift:41).
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from qwen3_tts_tpu.ops import linear as L
+from qwen3_tts_tpu.ops.quant import (
+    quantize_entry_rowwise_device,
+    quantize_rowwise_int8_np,
+)
+
+pytestmark = pytest.mark.smoke
+
+
+def _mk_entry(w):
+    q, s, m = quantize_rowwise_int8_np(w)
+    return (
+        {
+            "w8r": jnp.asarray(q),
+            "s": jnp.asarray(s[..., None, :]),
+            "m": jnp.asarray(m[..., None, :]),
+        },
+        s[..., :, None] * q + m[..., :, None],  # dequantized reference
+    )
+
+
+def test_w8r_linear_matches_dequant():
+    rng = np.random.default_rng(0)
+    w = rng.standard_normal((24, 32)).astype(np.float32)
+    entry, wd = _mk_entry(w)
+    x = jnp.asarray(rng.standard_normal((3, 32)).astype(np.float32))
+    got = L.linear(entry, x)
+    want = x @ wd.T
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), rtol=1e-5, atol=1e-5)
+
+
+def test_w8r_linear_batched_layer_axis():
+    """Per-layer slices of a stacked [L, O, K] w8r entry (the prefill scan /
+    decode per-layer access pattern)."""
+    rng = np.random.default_rng(1)
+    w = rng.standard_normal((4, 16, 24)).astype(np.float32)
+    entry, wd = _mk_entry(w)
+    x = jnp.asarray(rng.standard_normal((2, 5, 24)).astype(np.float32))
+    for i in range(4):
+        lp = jax.tree.map(lambda a: a[i], entry)
+        got = L.linear(lp, x)
+        np.testing.assert_allclose(
+            np.asarray(got), np.asarray(x @ wd[i].T), rtol=1e-5, atol=1e-5
+        )
+
+
+def test_w8r_table_matmul_and_row():
+    rng = np.random.default_rng(2)
+    w = rng.standard_normal((3, 50, 16)).astype(np.float32)  # [ng, V, K]
+    entry, wd = _mk_entry(w)
+    x = jnp.asarray(rng.standard_normal((2, 16)).astype(np.float32))
+    for k in range(3):
+        got = L.table_matmul(entry, jnp.int32(k), x)
+        np.testing.assert_allclose(
+            np.asarray(got), np.asarray(x @ wd[k].T), rtol=1e-5, atol=1e-5
+        )
+    row = L.table_row(entry, jnp.int32(1), jnp.int32(7))
+    np.testing.assert_allclose(np.asarray(row), wd[1, 7], rtol=1e-5, atol=1e-5)
+    rows = L.table_row(entry, jnp.int32(2), jnp.asarray([3, 9]))
+    np.testing.assert_allclose(np.asarray(rows), wd[2, [3, 9]], rtol=1e-5, atol=1e-5)
+
+
+def test_w8r_embedding_lookup():
+    rng = np.random.default_rng(3)
+    w = rng.standard_normal((40, 16)).astype(np.float32)
+    entry = quantize_entry_rowwise_device({"w": jnp.asarray(w)})
+    wd = np.asarray(entry["s"][0])[:, None] * np.asarray(entry["w8r"]) + np.asarray(
+        entry["m"][0]
+    )[:, None]
+    ids = jnp.asarray([[0, 5], [39, 1]])
+    got = L.embedding_lookup(entry, ids)
+    np.testing.assert_allclose(
+        np.asarray(got), wd[np.asarray(ids)], rtol=1e-5, atol=1e-5
+    )
+    # quantization error itself is bounded (scale/2 per element)
+    assert np.max(np.abs(wd - w)) < np.max(np.abs(w)) / 64
+
+
+def test_pipeline_shares_kernel_buffers(tmp_path):
+    """Default config + kernels on: layer linears / codec_head / cp tables are
+    views onto the kernel subtrees (same device buffers, counted once), no
+    dense copy of them remains, and generation still runs end to end."""
+    from qwen3_tts_tpu.pipeline import (
+        Qwen3TTSPipeline,
+        Qwen3TTSPipelineConfiguration,
+    )
+    from qwen3_tts_tpu.testing import write_tiny_model_dir
+
+    d = str(tmp_path / "m")
+    write_tiny_model_dir(d)
+    cfgn = Qwen3TTSPipelineConfiguration(
+        use_talker_megakernel=True, use_cp_megakernel=True
+    )
+    pl = Qwen3TTSPipeline(d, cfgn, dtype=jnp.float32)
+
+    lay = pl.params["layers"]
+    k = pl.params["kernel"]
+    assert lay["qkv_proj"]["w8r"] is k["qkv_q"]
+    assert lay["down_proj"]["s"] is k["dn_s"]
+    assert pl.params["codec_head"]["w8r"] is k["ch_q"]
+    assert "w" not in lay["qkv_proj"] and "w8" not in lay["qkv_proj"]
+    ck = pl.cp_params["kernel"]
+    assert pl.cp_params["lm_head"]["w8r"] is ck["head_q"]
+    assert pl.cp_params["codec_embedding"]["w8r"] is ck["embr_q"]
+    assert pl.cp_params["layers"]["o_proj"]["w8r"] is ck["o_q"]
+    # embeddings quantize by default when the row width allows it (real
+    # checkpoints: hidden % 64 == 0; the tiny fixture's text hidden may not be)
+    te = pl.params["text_embedding"]
+    if "w" in te:
+        assert np.asarray(te["w"]).shape[-1] % 64 != 0
+    else:
+        assert "w8" in te
+
+    # resident accounting counts each shared buffer once
+    total = pl.model_resident_bytes()
+    naive = sum(
+        leaf.nbytes
+        for tree in (pl.params, pl.cp_params, pl.vocoder_params)
+        for leaf in jax.tree.leaves(tree)
+        if hasattr(leaf, "nbytes")
+    )
+    assert total < naive
+
+    # the shared path generates (kernel decode in interpret mode on CPU,
+    # w8r prefill + embeddings)
+    s = pl.generate("Shared buffers speak.", "aiden", max_tokens=4, seed=0)
+    assert s.size > 0 and np.all(np.isfinite(s))
+    # serving path reads the same shared entries through jnp
+    many = pl.generate_many(
+        ["Share one.", "Share two longer text."], "aiden", max_tokens=3
+    )
+    assert all(len(m) > 0 for m in many)
+
+
+def test_pipeline_default_quantizes_without_kernels(tmp_path):
+    """CPU default (kernels auto-off): runtime int8 quantization still applies
+    — no dense talker linear weights remain resident."""
+    from qwen3_tts_tpu.pipeline import Qwen3TTSPipeline
+    from qwen3_tts_tpu.testing import write_tiny_model_dir
+
+    d = str(tmp_path / "m")
+    write_tiny_model_dir(d)
+    pl = Qwen3TTSPipeline(d, dtype=jnp.float32)
+    assert "kernel" not in pl.params
+    assert "w8" in pl.params["layers"]["qkv_proj"]
+    assert "w" not in pl.params["layers"]["qkv_proj"]
+    s = pl.generate("Quantized default.", "aiden", max_tokens=4, seed=0)
+    assert s.size > 0 and np.all(np.isfinite(s))
