@@ -736,3 +736,70 @@ def random_host_cp_params(config, seed: int = 1) -> dict:
             rng, cc.hidden_size, config.hidden_size, bias=True
         )
     return params
+
+
+def write_golden_model_dir(path, seed: int = 0, group_size: int = 64):
+    """Full-fidelity reference-format checkpoint for the convert-and-verify
+    harness (io/verify.py): write_tiny_model_dir's layout PLUS every
+    real-checkpoint storage quirk at tiny dims —
+
+    - PRE-QUANTIZED uint32 (.weight/.scales/.biases) triples with
+      HETEROGENEOUS per-tensor bit widths (the reference loads each module
+      independently, so real checkpoints mix widths: Qwen3Talker.swift:141-175)
+    - dense keys interleaved where dims are packing-ineligible (mixed storage)
+    - a "quantization" block in config.json (keep-packed load path)
+    - speaker_encoder.* in the main file, encoder.* + RVQ EMA stats
+      (cluster_usage / embedding_sum) in speech_tokenizer/ (already written by
+      write_tiny_model_dir with_encoders=True; AudioDecoder.swift:285-302)
+
+    Returns write_tiny_model_dir's tuple (the DENSE source trees, for tests
+    that want to cross-check the dequantized load)."""
+    import json as _json
+    import os as _os
+
+    import numpy as np
+
+    from .io import safetensors_io
+    from .ops.quant import quantize_np
+
+    ret = write_tiny_model_dir(path, seed=seed, with_encoders=True)
+    main_path = _os.path.join(_os.fspath(path), "model.safetensors")
+    mw = safetensors_io.load_file(main_path)
+
+    def eligible(key: str, arr) -> bool:
+        return (
+            key.startswith("talker.")
+            and key.endswith(".weight")
+            and getattr(arr, "ndim", 0) == 2
+            and "norm" not in key
+            and arr.shape[-1] % group_size == 0
+        )
+
+    widths = (4, 6, 8)
+    out = {}
+    i = 0
+    for k in sorted(mw):
+        a = mw[k]
+        if eligible(k, a):
+            bits = widths[i % len(widths)]
+            i += 1
+            if (a.shape[-1] * bits) % 32:
+                bits = 4
+            packed, scales, biases = quantize_np(
+                np.asarray(a, np.float32), bits, group_size
+            )
+            stem = k[: -len(".weight")]
+            out[k] = packed
+            out[f"{stem}.scales"] = scales
+            out[f"{stem}.biases"] = biases
+        else:
+            out[k] = a
+    safetensors_io.save_file(out, main_path)
+
+    cfg_path = _os.path.join(_os.fspath(path), "config.json")
+    with open(cfg_path, "r", encoding="utf-8") as f:
+        raw = _json.load(f)
+    raw["quantization"] = {"bits": 4, "group_size": group_size}
+    with open(cfg_path, "w", encoding="utf-8") as f:
+        _json.dump(raw, f)
+    return ret
