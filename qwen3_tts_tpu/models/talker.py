@@ -151,16 +151,32 @@ def _rope_cos_sin(config: Qwen3TTSConfig, positions: jax.Array):
 
 
 def _layer_qkv(layer_p: dict, x: jax.Array, cos, sin, config: Qwen3TTSConfig):
-    """Shared q/k/v computation for one layer (fused qkv matmul). x: [B, L, H]."""
+    """Shared q/k/v computation for one layer. x: [B, L, H].
+
+    Two weight structures are accepted:
+      fused   {"qkv_proj": {"w"/"w8"/...: [(q+2kv)*hd, H]}} — one matmul,
+              the single-chip default (fewer dispatches)
+      unfused {"qkv_proj": {"q": entry, "k": entry, "v": entry}} — the
+              TENSOR-PARALLEL layout (parallel/sharding.py): each section
+              shards on its own output axis, so a tp split never cuts across
+              the q/k/v boundary and XLA inserts only the Megatron-canonical
+              collectives (no per-layer reshard of a fused output).
+    """
     b, l, _ = x.shape
     hd = config.head_dim
     nq = config.num_attention_heads
     nkv = config.num_key_value_heads
 
-    qkv = linear(layer_p["qkv_proj"], x)
-    q = qkv[..., : nq * hd].reshape(b, l, nq, hd)
-    k = qkv[..., nq * hd : (nq + nkv) * hd].reshape(b, l, nkv, hd)
-    v = qkv[..., (nq + nkv) * hd :].reshape(b, l, nkv, hd)
+    qp = layer_p["qkv_proj"]
+    if "q" in qp:
+        q = linear(qp["q"], x).reshape(b, l, nq, hd)
+        k = linear(qp["k"], x).reshape(b, l, nkv, hd)
+        v = linear(qp["v"], x).reshape(b, l, nkv, hd)
+    else:
+        qkv = linear(qp, x)
+        q = qkv[..., : nq * hd].reshape(b, l, nq, hd)
+        k = qkv[..., nq * hd : (nq + nkv) * hd].reshape(b, l, nkv, hd)
+        v = qkv[..., (nq + nkv) * hd :].reshape(b, l, nkv, hd)
 
     q = rms_norm(q, layer_p["q_norm"]["w"], config.rms_norm_eps)
     k = rms_norm(k, layer_p["k_norm"]["w"], config.rms_norm_eps)
@@ -177,8 +193,13 @@ def _layer_qkv(layer_p: dict, x: jax.Array, cos, sin, config: Qwen3TTSConfig):
 
 
 def _swiglu(lp: dict, x: jax.Array, intermediate: int) -> jax.Array:
-    """Fused gate/up SwiGLU: one matmul, split, silu(gate) * up."""
-    gu = linear(lp["gateup_proj"], x)
+    """SwiGLU: fused gate/up ({"gateup_proj": entry}, one matmul + split) or
+    the unfused tensor-parallel layout ({"gateup_proj": {"gate","up"}},
+    section-aligned tp sharding — see _layer_qkv)."""
+    gp = lp["gateup_proj"]
+    if "gate" in gp:
+        return jax.nn.silu(linear(gp["gate"], x)) * linear(gp["up"], x)
+    gu = linear(gp, x)
     return jax.nn.silu(gu[..., :intermediate]) * gu[..., intermediate:]
 
 

@@ -44,9 +44,9 @@ def talker_forward_train(
         attn = attn.transpose(0, 2, 1, 3).reshape(b, t, -1)
         h = h + linear(lp["o_proj"], attn)
         x2 = rms_norm(h, lp["post_attention_layernorm"]["w"], config.rms_norm_eps)
-        gu = linear(lp["gateup_proj"], x2)
-        ii = config.intermediate_size
-        return h + linear(lp["down_proj"], jax.nn.silu(gu[..., :ii]) * gu[..., ii:]), None
+        from ..models.talker import _swiglu  # fused or unfused-tp layout
+
+        return h + linear(lp["down_proj"], _swiglu(lp, x2, config.intermediate_size)), None
 
     h, _ = jax.lax.scan(body, embeds, params["layers"])
     return rms_norm(h, params["norm"]["w"], config.rms_norm_eps)
