@@ -268,30 +268,34 @@ def decode_frames(
     cfg: TokenizerDecoderConfig,
     *,
     kernel_compute_dtype=jnp.bfloat16,
-    kernel_interpret: bool = False,
+    kernel_interpret: bool | None = None,
 ) -> jax.Array:
     """Full vocoder decode: codes [B, nq, T] int32 -> waveform [B, T * total_upsample]
     float32 in [-1, 1] (reference decodeImpl, SpeechTokenizer.swift:917-952).
 
     When params carries a "kernel" subtree (ops/pallas/vocoder_kernels.py,
     built by build_vocoder_kernel_params) the four SEANet decoder blocks run
-    as one fused Pallas kernel each instead of ~17 XLA ops each."""
+    as one fused Pallas kernel each instead of ~17 XLA ops each.
+    kernel_interpret=None auto-selects the Pallas interpreter off-TPU (the
+    same convention as the talker/cp mega-kernels, models/generate.py)."""
+    if kernel_interpret is None:
+        kernel_interpret = jax.default_backend() != "tpu"
     h = rvq_decode(params["quantizer"], codes)            # [B, T, 512]
     h = causal_conv1d(params["pre_conv"], h)              # [B, T, 1024]
     kernel = params.get("kernel")
-    # The mega-kernel wins at streaming chunk sizes (T=26: 1.30 ms vs 1.69
-    # jnp on v5e) but its per-head dot unrolling loses at long T (T=96:
-    # 2.57 vs 1.79), and its (batch, layer) grid refetches every layer's
-    # weight block per batch row — single-stream small chunks only.
+    # The head-PACKED mega-kernel (scores/AV as two large stacked matmuls,
+    # ops/pallas/pretransformer_kernel.py::pre_transformer_packed) wins at
+    # every chunk length measured on v5e (the old per-head variant lost past
+    # T=64), so there is no T gate; the (batch, layer) grid still refetches
+    # each layer's weight block per batch row — single-stream (B=1) only.
     if (
         kernel is not None
         and kernel.get("pre_transformer") is not None
         and codes.shape[0] == 1
-        and codes.shape[2] <= 64
     ):
-        from ..ops.pallas.pretransformer_kernel import pre_transformer_fused
+        from ..ops.pallas.pretransformer_kernel import pre_transformer_packed
 
-        h = pre_transformer_fused(
+        h = pre_transformer_packed(
             kernel["pre_transformer"], h,
             nl=cfg.num_hidden_layers, nh=cfg.num_attention_heads,
             hd=cfg.head_dim, eps=cfg.rms_norm_eps, rope_theta=cfg.rope_theta,

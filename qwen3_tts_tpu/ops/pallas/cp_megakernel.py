@@ -161,14 +161,14 @@ def _cp_kernel(
     in_ln, post_ln, q_ln, k_ln, fin_ln,
     qkv_q, qkv_s, qkv_m, o_q, o_s, o_m,
     gu_q, gu_s, gu_m, dn_q, dn_s, dn_m,
-    head_s, head_m, emb_s, emb_m, embr_s, embr_m,
+    head_s, head_m, emb_s, emb_m,
     # HBM (ANY)
-    head_q, emb_q, embr_q,
+    head_q, emb_q,
     # outputs
-    codes_out, esum_out, seen_out,
+    codes_out, seen_out,
     # scratch
-    x_s, attn_s, kv_k, kv_v, head_buf, emb_row, embr_row,
-    sem_head, sem_emb, sem_embr,
+    x_s, attn_s, kv_k, kv_v, head_buf, emb_row,
+    sem_head, sem_emb,
     *,
     nl, nq, nkv, hd, hc, inter, vocab, ng, th, eps, penalty,
 ):
@@ -180,7 +180,6 @@ def _cp_kernel(
     pltpu.prng_seed(seed_ref[0])
     seen_out[:] = seen_ref[:]
     codes_out[:] = jnp.zeros_like(codes_out)
-    esum_out[:] = jnp.zeros_like(esum_out)
     x_s[:] = jnp.zeros_like(x_s)
     attn_s[:] = jnp.zeros_like(attn_s)
     # Unwritten KV slots are read by the full-cache dots (their softmax weight
@@ -310,14 +309,14 @@ def _cp_kernel(
             (rows_c == 0) & (lanes_c == k)
         ).astype(jnp.int32)
 
-        # raw embedding row -> embed_sum; projected row -> next token input.
-        # Single-row HBM slices violate the (8,128) tiling, so DMA the aligned
-        # 8-row block holding `code` and select the row with a sublane one-hot.
+        # projected embedding row -> next token input. (The RAW embed_sum
+        # accumulation moved OUT of the kernel: the wrapper gathers the 15
+        # rows in one XLA op after codes return — the per-group raw DMA +
+        # select + scale work was ~11%-class fixed overhead on the critical
+        # path, ROADMAP r2 decomposition.) Single-row HBM slices violate the
+        # (8,128) tiling, so DMA the aligned 8-row block holding `code` and
+        # select the row with a sublane one-hot.
         base = (code // 8) * 8
-        raw = pltpu.make_async_copy(
-            embr_q.at[k, pl.ds(base, 8), :], embr_row, sem_embr
-        )
-        raw.start()
         proj = pltpu.make_async_copy(
             emb_q.at[k, pl.ds(base, 8), :], emb_row, sem_emb
         )
@@ -330,10 +329,6 @@ def _cp_kernel(
                 block_ref[:].astype(jnp.float32) * sel, axis=0, keepdims=True
             )
 
-        raw.wait()
-        rs = jnp.sum(embr_s[pl.ds(k, 1)][0] * onehot)
-        rm = jnp.sum(embr_m[pl.ds(k, 1)][0] * onehot)
-        esum_out[0:1, :] = esum_out[0:1, :] + (pick_row(embr_row) * rs + rm)
         proj.wait()
 
         @pl.when(t < n_pos - 1)
@@ -575,12 +570,24 @@ def predict_frame_kernel(
     temp = jnp.maximum(temperature.astype(jnp.float32), 0.0)[None]
     penalty = float(repetition_penalty) if track else 1.0
 
-    codes_row, esum, seen_new = _cp_kernel_call(
+    codes_row, seen_new = _cp_kernel_call(
         seed, temp, x0, seen_in, kp, config, th, penalty, interpret
     )
     codes = codes_row[0, :ng]
+    # Raw embed_sum OUTSIDE the kernel: one XLA gather-dequant over the 15
+    # sampled codes (int8 rows * per-row scale + mid), accumulated in group
+    # order to stay bit-identical to the old in-kernel sequential sum. This
+    # removed a per-group DMA + row-select from the kernel's critical path.
+    gidx = jnp.arange(ng)
+    rows = kp["embr_q"][gidx, codes].astype(jnp.float32)        # [ng, th]
+    s = kp["embr_s"][gidx, 0, codes].astype(jnp.float32)        # [ng]
+    m = kp["embr_m"][gidx, 0, codes].astype(jnp.float32)
+    terms = rows * s[:, None] + m[:, None]
+    esum = terms[0]
+    for k in range(1, ng):
+        esum = esum + terms[k]
     embed_sum = (
-        code0_embed.astype(jnp.float32) + esum[0][None, None, :]
+        code0_embed.astype(jnp.float32) + esum[None, None, :]
     ).astype(code_hidden.dtype)
     return codes, embed_sum, (seen_new[:ng] > 0) if track else None
 
@@ -612,17 +619,16 @@ def _cp_kernel_call(seed, temp, x0, seen_in, kp, config, th, penalty, interpret)
         kernel,
         out_shape=(
             jax.ShapeDtypeStruct((8, 128), jnp.int32),      # codes (row 0)
-            jax.ShapeDtypeStruct((8, th), jnp.float32),     # raw embed sum
             jax.ShapeDtypeStruct((ng, vocab), jnp.float32), # seen
         ),
         in_specs=(
             [sm, sm, vm, vm, vm, vm, vm]
             + [vm] * 5                     # norms
             + [vm] * 12                    # layer weights + scales
-            + [vm] * 6                     # head/emb scales
-            + [hbm] * 3                    # head_q, emb_q, embr_q
+            + [vm] * 4                     # head/emb scales
+            + [hbm] * 2                    # head_q, emb_q
         ),
-        out_specs=(vm, vm, vm),
+        out_specs=(vm, vm),
         scratch_shapes=[
             pltpu.VMEM((M_PAD, hc), jnp.float32),            # x_s
             pltpu.VMEM((M_PAD, nq * hd), jnp.float32),       # attn_s
@@ -630,9 +636,7 @@ def _cp_kernel_call(seed, temp, x0, seen_in, kp, config, th, penalty, interpret)
             pltpu.VMEM((nl, n_pos, nkv * hd), jnp.float32),  # kv_v (row-major)
             pltpu.VMEM((2, vocab, hc), jnp.int8),            # head_buf
             pltpu.VMEM((8, hc), jnp.int8),                   # emb_row block
-            pltpu.VMEM((8, th), jnp.int8),                   # embr_row block
             pltpu.SemaphoreType.DMA((2,)),
-            pltpu.SemaphoreType.DMA(()),
             pltpu.SemaphoreType.DMA(()),
         ],
         compiler_params=pltpu.CompilerParams(
@@ -654,8 +658,7 @@ def _cp_kernel_call(seed, temp, x0, seen_in, kp, config, th, penalty, interpret)
         kp["gu_q"], kp["gu_s"], kp["gu_m"],
         kp["dn_q"], kp["dn_s"], kp["dn_m"],
         kp["head_s"], kp["head_m"], kp["emb_s"], kp["emb_m"],
-        kp["embr_s"], kp["embr_m"],
-        kp["head_q"], kp["emb_q"], kp["embr_q"],
+        kp["head_q"], kp["emb_q"],
     )
 
 

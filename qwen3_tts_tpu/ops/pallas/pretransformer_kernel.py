@@ -161,6 +161,234 @@ def build_pretransformer_kernel_params_device(
     }
 
 
+# ---------------------------------------------------------------------------
+# Head-packed variant: all heads' scores/AV as TWO large MXU matmuls
+# ---------------------------------------------------------------------------
+#
+# The per-head kernel above issues ~8 small dots per head per layer (~128
+# per layer); with ~100 cycles of per-dot issue latency the kernel is
+# dot-COUNT-bound and loses to XLA beyond T=64 (ROADMAP r2). This variant
+# packs all heads into the sublane (M) dimension:
+#
+#   q/k/v computed WIDE in one dot each ([T, nh*hdp], hdp = head dim padded
+#   to 64 so per-head lane slices sit at Mosaic-supported 64 offsets; the
+#   pad lanes are exactly zero and drop out of every product);
+#   RoPE applied wide (tiled cos/sin + one block-diagonal rotation matmul);
+#   heads stacked to [nh*T, hdp] via 64-aligned lane slices + sublane
+#   stores (VPU copies, no dot issue);
+#   scores = ONE [nh*T, hdp] x [nh*T, hdp]^T dot — the off-diagonal
+#   (cross-head) blocks are masked to -inf before the softmax, so the nh^2/nh
+#   extra FLOPs buy dot-count freedom (MXU FLOPs are ~free at these sizes);
+#   AV    = ONE [nh*T, nh*T] x [nh*T, hdp] dot (masked P has exact zeros in
+#   cross-head blocks, so each head row only sees its own V block);
+#   o-projection stays per-head (16 medium dots, the cheap part).
+#
+# Per-layer dot count: ~26 vs ~128 — and the two big dots tile the MXU far
+# better than [T, 32] fragments. Wins at every T (measured on v5e; see
+# ROADMAP), so decode_frames uses this variant with no T gate.
+
+
+def _kernel_packed(
+    cos, sin, wi, bi, ln1, wq, wk, wv, rotm, wo,
+    lsa, ln2, wg, wu, wd, lsm, fnorm, wout, bout,
+    x_ref, out_ref, x_s, q_s, k_s, v_s,
+    *, nl, nh, hdp, eps, cd,
+):
+    l = pl.program_id(1)
+
+    def dot(a, b):
+        return jax.lax.dot_general(
+            a.astype(cd), b.astype(cd), (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+
+    def dot_t(a, b):  # a @ b.T
+        return jax.lax.dot_general(
+            a.astype(cd), b.astype(cd), (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+
+    @pl.when(l == 0)
+    def _():
+        x_s[:] = dot(x_ref[0], wi[:]) + bi[:]
+
+    h = x_s[:]  # (tp, h) fp32
+    tp = h.shape[0]
+    scale = 1.0 / float(hdp // 2) ** 0.5  # real head dim = hdp//2 (pad x2)
+
+    xin = _rms(h, ln1[0], eps)
+    qw = dot(xin, wq[0])                      # (tp, nh*hdp)
+    kw = dot(xin, wk[0])
+    vw = dot(xin, wv[0])
+    cosv, sinv = cos[:], sin[:]               # (tp, nh*hdp) tiled
+    qw = (qw * cosv + dot(qw, rotm[:]) * sinv) * scale
+    kw = kw * cosv + dot(kw, rotm[:]) * sinv
+
+    for j in range(nh):                       # VPU relayout, no dots
+        sl = slice(j * hdp, (j + 1) * hdp)
+        q_s[pl.ds(j * tp, tp), :] = qw[:, sl]
+        k_s[pl.ds(j * tp, tp), :] = kw[:, sl]
+        v_s[pl.ds(j * tp, tp), :] = vw[:, sl]
+
+    s = dot_t(q_s[:], k_s[:])                 # (nh*tp, nh*tp)
+    r = jax.lax.broadcasted_iota(jnp.int32, s.shape, 0)
+    c = jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
+    valid = (r // tp == c // tp) & (c % tp <= r % tp)  # same head, causal
+    s = jnp.where(valid, s, -1e30)
+    mx = jnp.max(s, axis=-1, keepdims=True)
+    e = jnp.exp(s - mx)
+    p = e / jnp.sum(e, axis=-1, keepdims=True)
+    o = dot(p, v_s[:])                        # (nh*tp, hdp)
+
+    acc = jnp.zeros_like(h)
+    for j in range(nh):
+        acc = acc + dot(o[j * tp: (j + 1) * tp, :], wo[0, j])
+    h = h + lsa[0] * acc
+
+    x2 = _rms(h, ln2[0], eps)
+    g = dot(x2, wg[0])
+    u = dot(x2, wu[0])
+    m = dot(jax.nn.silu(g) * u, wd[0])
+    h = h + lsm[0] * m
+    x_s[:] = h
+
+    @pl.when(l == nl - 1)
+    def _():
+        hf = _rms(h, fnorm[:], eps)
+        out_ref[0] = (dot(hf, wout[:]) + bout[:]).astype(out_ref.dtype)
+
+
+def build_pretransformer_packed_params_device(
+    pt: dict, cfg, weight_dtype=jnp.bfloat16
+) -> dict:
+    """Head-packed kernel weights: q/k/v as single wide matrices with each
+    head's columns zero-padded from hd to hdp=2*hd (64-lane alignment), a
+    block-diagonal rotate-half matrix over the wide layout, and per-head
+    zero-row-padded o projections."""
+    L = pt["layers"]
+    nh, hd = cfg.num_attention_heads, cfg.head_dim
+    hdp = 2 * hd
+    h = cfg.hidden_size
+    for name in ("q_proj", "k_proj", "v_proj", "o_proj", "gate_proj",
+                 "up_proj", "down_proj"):
+        if "b" in L[name]:
+            raise ValueError(f"pre-transformer kernel requires bias-free {name}")
+    nl = L["q_proj"]["w"].shape[0]
+
+    def wide(w):  # [nl, nh*hd, h] -> [nl, h, nh*hdp] (pad lanes zero)
+        per = jnp.transpose(w.reshape(nl, nh, hd, h), (0, 3, 1, 2))  # nl,h,nh,hd
+        per = jnp.pad(per, ((0, 0), (0, 0), (0, 0), (0, hdp - hd)))
+        return per.reshape(nl, h, nh * hdp).astype(weight_dtype)
+
+    def f32row(w):
+        return w[:, None, :].astype(jnp.float32)
+
+    # wide rotate-half: block-diagonal, per head the [hd, hd] signed
+    # permutation in the top-left of its hdp block (pad rows/cols zero)
+    half = hd // 2
+    rot = np.zeros((hdp, hdp), np.float32)
+    for j in range(half):
+        rot[j + half, j] = -1.0
+        rot[j, j + half] = 1.0
+    rbig = np.zeros((nh * hdp, nh * hdp), np.float32)
+    for j in range(nh):
+        rbig[j * hdp: (j + 1) * hdp, j * hdp: (j + 1) * hdp] = rot
+
+    wo = jnp.transpose(
+        L["o_proj"]["w"].reshape(nl, h, nh, hd), (0, 2, 3, 1)
+    )  # [nl, nh, hd, h]
+    wo = jnp.pad(wo, ((0, 0), (0, 0), (0, hdp - hd), (0, 0)))
+
+    return {
+        "wi": pt["input_proj"]["w"].T.astype(weight_dtype),
+        "bi": pt["input_proj"]["b"][None].astype(jnp.float32),
+        "ln1": f32row(L["input_layernorm"]["w"]),
+        "wq": wide(L["q_proj"]["w"]),
+        "wk": wide(L["k_proj"]["w"]),
+        "wv": wide(L["v_proj"]["w"]),
+        "rotm": jnp.asarray(rbig).astype(weight_dtype),
+        "wo": wo.astype(weight_dtype),
+        "lsa": f32row(L["self_attn_layer_scale"]["w"]),
+        "ln2": f32row(L["post_attention_layernorm"]["w"]),
+        "wg": jnp.transpose(L["gate_proj"]["w"], (0, 2, 1)).astype(weight_dtype),
+        "wu": jnp.transpose(L["up_proj"]["w"], (0, 2, 1)).astype(weight_dtype),
+        "wd": jnp.transpose(L["down_proj"]["w"], (0, 2, 1)).astype(weight_dtype),
+        "lsm": f32row(L["mlp_layer_scale"]["w"]),
+        "fnorm": pt["norm"]["w"][None].astype(jnp.float32),
+        "wout": pt["output_proj"]["w"].T.astype(weight_dtype),
+        "bout": pt["output_proj"]["b"][None].astype(jnp.float32),
+    }
+
+
+@functools.partial(
+    jax.jit, static_argnames=("nl", "nh", "hd", "eps", "rope_theta",
+                              "compute_dtype", "interpret")
+)
+def pre_transformer_packed(
+    kp: dict,
+    x: jax.Array,
+    *,
+    nl: int,
+    nh: int,
+    hd: int,
+    eps: float,
+    rope_theta: float,
+    compute_dtype=jnp.bfloat16,
+    interpret: bool = False,
+) -> jax.Array:
+    """Head-packed fused pre-transformer: x [B, T, latent] -> [B, T, latent]."""
+    bsz, t, latent = x.shape
+    h = kp["wi"].shape[1]
+    hdp = 2 * hd
+    tp = -(-t // 8) * 8
+    xp = jnp.pad(x, ((0, 0), (0, tp - t), (0, 0)))
+    inv = jnp.asarray(rope_ops.inv_freq(hd, rope_theta))
+    cos, sin = rope_ops.rope_cos_sin(jnp.arange(tp), inv)  # [tp, hd]
+    # tiled wide cos/sin: each head's hdp block = [cos(hd); zeros(hd pad)]
+    cosw = jnp.tile(jnp.pad(cos, ((0, 0), (0, hdp - hd))), (1, nh))
+    sinw = jnp.tile(jnp.pad(sin, ((0, 0), (0, hdp - hd))), (1, nh))
+    kp = dict(kp, cos=cosw, sin=sinw)
+
+    def spec(name):
+        shp = kp[name].shape
+        if name in _PER_LAYER:
+            return pl.BlockSpec(
+                (1,) + shp[1:],
+                lambda b, l, _n=len(shp): (l,) + (0,) * (_n - 1),
+                memory_space=pltpu.VMEM,
+            )
+        return pl.BlockSpec(
+            shp, lambda b, l, _n=len(shp): (0,) * _n, memory_space=pltpu.VMEM
+        )
+
+    kernel = functools.partial(
+        _kernel_packed, nl=nl, nh=nh, hdp=hdp, eps=eps, cd=compute_dtype
+    )
+    out = pl.pallas_call(
+        kernel,
+        grid=(bsz, nl),
+        in_specs=[
+            *(spec(name) for name in _PARAMS),
+            pl.BlockSpec(
+                (1, tp, latent), lambda b, l: (b, 0, 0), memory_space=pltpu.VMEM
+            ),
+        ],
+        out_specs=pl.BlockSpec(
+            (1, tp, latent), lambda b, l: (b, 0, 0), memory_space=pltpu.VMEM
+        ),
+        out_shape=jax.ShapeDtypeStruct((bsz, tp, latent), x.dtype),
+        scratch_shapes=[
+            pltpu.VMEM((tp, h), jnp.float32),
+            pltpu.VMEM((nh * tp, hdp), jnp.float32),
+            pltpu.VMEM((nh * tp, hdp), jnp.float32),
+            pltpu.VMEM((nh * tp, hdp), jnp.float32),
+        ],
+        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=127 * 2**20),
+        interpret=pltpu.InterpretParams() if interpret else False,
+    )(*(kp[name] for name in _PARAMS), xp)
+    return out[:, :t]
+
+
 @functools.partial(
     jax.jit, static_argnames=("nl", "nh", "hd", "eps", "rope_theta",
                               "compute_dtype", "interpret")

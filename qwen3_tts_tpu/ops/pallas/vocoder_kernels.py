@@ -310,10 +310,12 @@ def seanet_block_fused(
 
 
 def _pretransformer_subtree(params: dict, cfg):
-    from .pretransformer_kernel import build_pretransformer_kernel_params_device
+    # head-PACKED layout (scores/AV as two large stacked matmuls): wins at
+    # every T on v5e, unlike the per-head variant's T<=64 gate (ROADMAP r3)
+    from .pretransformer_kernel import build_pretransformer_packed_params_device
 
     try:
-        return build_pretransformer_kernel_params_device(
+        return build_pretransformer_packed_params_device(
             params["pre_transformer"], cfg, weight_dtype=jnp.bfloat16
         )
     except ValueError:

@@ -66,12 +66,17 @@ def test_decode_frames_uses_fused_pretransformer():
         jax.random.PRNGKey(2), (1, CFG.num_quantizers, 5), 0, CFG.codebook_size
     )
     ref = voc.decode_frames(params, codes, CFG)
+    from qwen3_tts_tpu.ops.pallas.pretransformer_kernel import (
+        build_pretransformer_packed_params_device,
+    )
+
     kparams = dict(params)
     kparams["kernel"] = build_vocoder_kernel_params(
         params, CFG, weight_dtype=np.float32
     )
+    # decode_frames now runs the head-packed variant; rebuild at fp32
     kparams["kernel"]["pre_transformer"] = (
-        build_pretransformer_kernel_params_device(
+        build_pretransformer_packed_params_device(
             params["pre_transformer"], CFG, weight_dtype=jnp.float32
         )
     )
@@ -96,3 +101,29 @@ def test_biased_attention_falls_back():
     )
     pt["layers"] = dict(pt["layers"], q_proj=ql)
     assert _pretransformer_subtree(dict(params, pre_transformer=pt), CFG) is None
+
+
+@pytest.mark.parametrize("t,b", [(7, 1), (26, 2), (96, 1), (1, 1)])
+def test_packed_matches_jnp(t, b):
+    """Head-packed variant (two big stacked matmuls for scores/AV) matches
+    the jnp pre-transformer at fp32, including T past the old T<=64 gate."""
+    from qwen3_tts_tpu.ops.pallas.pretransformer_kernel import (
+        build_pretransformer_packed_params_device,
+        pre_transformer_packed,
+    )
+
+    params = _params()
+    pt = params["pre_transformer"]
+    x = jax.random.normal(jax.random.PRNGKey(2), (b, t, CFG.latent_dim))
+    ref = voc.pre_transformer(pt, x, CFG)
+    kp = build_pretransformer_packed_params_device(
+        pt, CFG, weight_dtype=jnp.float32
+    )
+    got = pre_transformer_packed(
+        kp, x,
+        nl=CFG.num_hidden_layers, nh=CFG.num_attention_heads,
+        hd=CFG.head_dim, eps=CFG.rms_norm_eps, rope_theta=CFG.rope_theta,
+        compute_dtype=jnp.float32, interpret=True,
+    )
+    assert got.shape == ref.shape
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=3e-5, rtol=3e-5)
