@@ -324,6 +324,10 @@ def decode_frames(
                 compute_dtype=kernel_compute_dtype,
                 interpret=kernel_interpret,
             )
+        if "t_w" in kernel["blocks"][-1]:
+            # the last block's kernel already applied out_snake + out_conv
+            # + clip (tail fusion) and returned the [B, S] fp32 waveform
+            return wav.astype(jnp.float32)
     else:
         for block, rate in zip(params["decoder"]["blocks"], cfg.upsample_rates):
             wav = snake_beta(block["snake"], wav)

@@ -54,13 +54,17 @@ DILATIONS = (1, 3, 9)
 # receptive field of the unit chain, rounded up to the fp32 sublane tile
 # (8): the DMA window size tile+halo must be 8-row aligned for Mosaic
 _HALO = -(-sum(6 * d for d in DILATIONS) // 8) * 8  # 78 -> 80
+# with the fused out_snake/out_conv tail the k=7 output conv reads 6 rows
+# before each kept row, so those rows need the FULL unit-chain receptive
+# field too: halo >= 78 + 6 -> 88 (8-aligned)
+_HALO_TAIL = -(-(sum(6 * d for d in DILATIONS) + 6) // 8) * 8  # 84 -> 88
 
 
 def _np32(x) -> np.ndarray:
     return np.asarray(jax.device_get(x), np.float32)
 
 
-def _build_block_kernel_params(block, rate, weight_dtype, xp, to32) -> dict:
+def _build_block_kernel_params(block, rate, weight_dtype, xp, to32, tail=None) -> dict:
     """Transform one decoder block's param subtree (see models/vocoder.py
     init: {"snake", "up", "units"}) into the fused-path layout. Generic over
     the array backend: xp = numpy (host-side, used at checkpoint load) or
@@ -116,30 +120,44 @@ def _build_block_kernel_params(block, rate, weight_dtype, xp, to32) -> dict:
         [padc(to32(u["conv2"]["w"])[0], (0, 1)) for u in units]
     ).astype(weight_dtype)  # [3, Cpad, Cpad]
     u_b2 = xp.stack([padc(to32(u["conv2"]["b"]), (0,))[None] for u in units])
-    return {
+    kp = {
         "snake_a": a0, "snake_binv": b0,
         "w_lo": w_lo, "w_hi": w_hi,
         "up_b": padc(to32(block["up"]["b"]), (0,))[None],
         "u_a1": u_a1, "u_binv1": u_binv1, "u_w1": u_w1, "u_b1": u_b1,
         "u_a2": u_a2, "u_binv2": u_binv2, "u_w2": u_w2, "u_b2": u_b2,
     }
+    if tail is not None:
+        # fold out_snake + out_conv (k=7, Cout=1) + clip into the last
+        # block's kernel (reference DecoderOutputSnake / DecoderOutputConv,
+        # SpeechTokenizer.swift:805-840). The out conv's left-pad-6 semantics
+        # fall out of the kernel's zeroed pre-sequence rows; padded channels
+        # carry zero weights so the fold is exact.
+        t_a, t_binv = snake(tail["snake"], pad=True)
+        kp["t_a"] = t_a
+        kp["t_binv"] = t_binv
+        # [7, Cin, 1] -> [7, Cpad, 1] matvec taps
+        kp["t_w"] = padc(to32(tail["conv"]["w"]), (1,)).astype(weight_dtype)
+        kp["t_b"] = to32(tail["conv"]["b"]).reshape(1, 1)
+    return kp
 
 
 def build_seanet_block_kernel_params(
-    block: dict, rate: int, weight_dtype=np.float32
+    block: dict, rate: int, weight_dtype=np.float32, tail: dict | None = None
 ) -> dict:
     """Host-side (numpy) kernel params for one block; see
-    _build_block_kernel_params."""
-    return _build_block_kernel_params(block, rate, weight_dtype, np, _np32)
+    _build_block_kernel_params. `tail` = {"snake", "conv"} folds the
+    vocoder's out_snake/out_conv into this block's kernel."""
+    return _build_block_kernel_params(block, rate, weight_dtype, np, _np32, tail)
 
 
 def build_seanet_block_kernel_params_device(
-    block: dict, rate: int, weight_dtype=jnp.bfloat16
+    block: dict, rate: int, weight_dtype=jnp.bfloat16, tail: dict | None = None
 ) -> dict:
     """Device-side (jnp, jittable) kernel params for one block; see
     _build_block_kernel_params."""
     return _build_block_kernel_params(
-        block, rate, weight_dtype, jnp, lambda x: jnp.asarray(x, jnp.float32)
+        block, rate, weight_dtype, jnp, lambda x: jnp.asarray(x, jnp.float32), tail
     )
 
 
@@ -148,14 +166,17 @@ def _snake(x, a, binv):
     return x + binv * (s * s)
 
 
-def _units_kernel(
-    u_a1, u_binv1, u_w1, u_b1, u_a2, u_binv2, u_w2, u_b2,
-    x_hbm, out_ref, xwin, sem,
-    *, tile: int, cd,
-):
+def _units_kernel(*refs, tile: int, cd, names):
+    p = dict(zip(names, refs[: len(names)]))
+    x_hbm, out_ref, xwin, sem = refs[len(names):]
+    u_a1, u_binv1, u_w1, u_b1 = p["u_a1"], p["u_binv1"], p["u_w1"], p["u_b1"]
+    u_a2, u_binv2, u_w2, u_b2 = p["u_a2"], p["u_binv2"], p["u_w2"], p["u_b2"]
+    tail = "t_w" in p
+    halo = _HALO_TAIL if tail else _HALO
+
     b = pl.program_id(0)
     i = pl.program_id(1)
-    w = tile + _HALO  # input window rows
+    w = tile + halo  # input window rows
 
     copy = pltpu.make_async_copy(
         x_hbm.at[b, pl.ds(i * tile, w), :], xwin, sem
@@ -165,14 +186,14 @@ def _units_kernel(
 
     y = xwin[:].astype(jnp.float32)
     c = u_w2.shape[-1]
-    # Window rows whose sequence position i*tile + row - HALO is negative
+    # Window rows whose sequence position i*tile + row - halo is negative
     # lie BEFORE the sequence start: the host pads them with zeros, and they
     # must STAY zero after every unit (in the reference, taps reaching
     # before t=0 see the causal zero padding, not unit outputs whose biases
-    # make fabricated rows nonzero). For tile > HALO only tile 0 has such
+    # make fabricated rows nonzero). For tile > halo only tile 0 has such
     # rows, but small forced tiles can leave them in later windows too.
     row = jax.lax.broadcasted_iota(jnp.int32, (w, 1), 0)
-    valid = row >= jnp.maximum(_HALO - i * tile, 0)
+    valid = row >= jnp.maximum(halo - i * tile, 0)
     y = jnp.where(valid, y, 0.0)
 
     for u, dil in enumerate(DILATIONS):
@@ -196,12 +217,31 @@ def _units_kernel(
         )
         y = jnp.where(valid, y, 0.0)
 
-    out_ref[0] = y[_HALO:].astype(out_ref.dtype)
+    if tail:
+        # fused out_snake -> out_conv (k=7, Cout=1, left-pad 6) -> clip.
+        # Kept rows start at `halo`; the conv's 6-row lookback lands on
+        # rows >= halo - 6 = 82, which have the full unit-chain receptive
+        # field (78) — that is what _HALO_TAIL buys. Pre-sequence rows are
+        # zero (see `valid`), matching the reference's left zero padding.
+        ys = _snake(y[halo - 6 :], p["t_a"][:], p["t_binv"][:]).astype(cd)
+        wav = jnp.zeros((tile, 1), jnp.float32) + p["t_b"][:]
+        for k in range(7):
+            wav = wav + jax.lax.dot_general(
+                ys[k : k + tile], p["t_w"][k].astype(cd),
+                (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+        wav = jnp.clip(wav, -1.0, 1.0)
+        lane = jax.lax.broadcasted_iota(jnp.int32, (1, 128), 1)
+        out_ref[0] = jnp.where(lane == 0, wav, 0.0).astype(out_ref.dtype)
+    else:
+        out_ref[0] = y[halo:].astype(out_ref.dtype)
 
 
 _UNIT_PARAMS = (
     "u_a1", "u_binv1", "u_w1", "u_b1", "u_a2", "u_binv2", "u_w2", "u_b2",
 )
+_TAIL_PARAMS = ("t_a", "t_binv", "t_w", "t_b")
 
 
 def _pick_tile(c: int, weight_bytes: int) -> int:
@@ -226,8 +266,16 @@ def residual_units_fused(
     tile: int | None = None,
     interpret: bool = False,
 ) -> jax.Array:
-    """Fused 3-unit chain: y [B, S, C] -> [B, S, C], one pallas_call."""
+    """Fused 3-unit chain: y [B, S, C] -> [B, S, C], one pallas_call.
+
+    When kp carries the tail params (t_a/t_binv/t_w/t_b) the kernel also
+    applies out_snake + out_conv + clip and returns the waveform in lane 0
+    of a [B, S, 128] fp32 output (Mosaic output blocks need 128-aligned
+    lanes; the caller slices lane 0)."""
     bsz, s, c = y.shape
+    tail = "t_w" in kp
+    names = _UNIT_PARAMS + _TAIL_PARAMS if tail else _UNIT_PARAMS
+    halo = _HALO_TAIL if tail else _HALO
     weight_bytes = sum(
         int(np.prod(kp[n].shape)) * jnp.dtype(kp[n].dtype).itemsize
         for n in _UNIT_PARAMS
@@ -235,9 +283,11 @@ def residual_units_fused(
     tt = tile or _pick_tile(c, weight_bytes)
     n_tiles = -(-s // tt)
     # front halo (causal zeros) + right pad to a tile multiple
-    yp = jnp.pad(y, ((0, 0), (_HALO, n_tiles * tt - s), (0, 0)))
+    yp = jnp.pad(y, ((0, 0), (halo, n_tiles * tt - s), (0, 0)))
 
-    kernel = functools.partial(_units_kernel, tile=tt, cd=compute_dtype)
+    out_c = 128 if tail else c
+    out_dtype = jnp.float32 if tail else y.dtype
+    kernel = functools.partial(_units_kernel, tile=tt, cd=compute_dtype, names=names)
     out = pl.pallas_call(
         kernel,
         grid=(bsz, n_tiles),
@@ -250,21 +300,21 @@ def residual_units_fused(
                     lambda b, i, _n=np.ndim(kp[name]): (0,) * _n,
                     memory_space=pltpu.VMEM,
                 )
-                for name in _UNIT_PARAMS
+                for name in names
             ),
             pl.BlockSpec(memory_space=pl.ANY),
         ],
         out_specs=pl.BlockSpec(
-            (1, tt, c), lambda b, i: (b, i, 0), memory_space=pltpu.VMEM
+            (1, tt, out_c), lambda b, i: (b, i, 0), memory_space=pltpu.VMEM
         ),
-        out_shape=jax.ShapeDtypeStruct((bsz, n_tiles * tt, c), y.dtype),
+        out_shape=jax.ShapeDtypeStruct((bsz, n_tiles * tt, out_c), out_dtype),
         scratch_shapes=[
-            pltpu.VMEM((tt + _HALO, c), y.dtype),
+            pltpu.VMEM((tt + halo, c), y.dtype),
             pltpu.SemaphoreType.DMA(()),
         ],
         compiler_params=pltpu.CompilerParams(vmem_limit_bytes=127 * 2**20),
         interpret=pltpu.InterpretParams() if interpret else False,
-    )(*(kp[name] for name in _UNIT_PARAMS), yp)
+    )(*(kp[name] for name in names), yp)
     return out[:, :s]
 
 
@@ -306,6 +356,10 @@ def seanet_block_fused(
     y = residual_units_fused(
         kp, y, compute_dtype=compute_dtype, tile=tile, interpret=interpret
     )
+    if "t_w" in kp:
+        # tail-fused: out_snake + out_conv + clip ran in-kernel; the
+        # waveform sits in lane 0 -> [B, T * rate] fp32
+        return y[..., 0]
     return y[..., :cout]
 
 
@@ -331,11 +385,20 @@ def build_vocoder_kernel_params(
     store under params["kernel"] to enable the fused paths in
     models/vocoder.py. Block params build host-side (numpy); the
     pre-transformer subtree builds via jnp (transposes run on device after
-    upload, which device_put of the full tree then passes through)."""
+    upload, which device_put of the full tree then passes through). The
+    LAST block's kernel absorbs out_snake/out_conv/clip (tail fusion)."""
+    blocks = params["decoder"]["blocks"]
+    last = len(blocks) - 1
     return {
         "blocks": [
-            build_seanet_block_kernel_params(block, rate, weight_dtype)
-            for block, rate in zip(params["decoder"]["blocks"], cfg.upsample_rates)
+            build_seanet_block_kernel_params(
+                block, rate, weight_dtype,
+                tail={
+                    "snake": params["decoder"]["out_snake"],
+                    "conv": params["decoder"]["out_conv"],
+                } if i == last else None,
+            )
+            for i, (block, rate) in enumerate(zip(blocks, cfg.upsample_rates))
         ],
         "pre_transformer": _pretransformer_subtree(params, cfg),
     }
@@ -347,10 +410,18 @@ def build_vocoder_kernel_params_device(
     """Device-side (jittable) variant of build_vocoder_kernel_params, for
     params that already live on device (e.g. bench/test random init) —
     avoids pulling ~150 MB of vocoder weights over the throttled host."""
+    blocks = params["decoder"]["blocks"]
+    last = len(blocks) - 1
     return {
         "blocks": [
-            build_seanet_block_kernel_params_device(block, rate, weight_dtype)
-            for block, rate in zip(params["decoder"]["blocks"], cfg.upsample_rates)
+            build_seanet_block_kernel_params_device(
+                block, rate, weight_dtype,
+                tail={
+                    "snake": params["decoder"]["out_snake"],
+                    "conv": params["decoder"]["out_conv"],
+                } if i == last else None,
+            )
+            for i, (block, rate) in enumerate(zip(blocks, cfg.upsample_rates))
         ],
         "pre_transformer": _pretransformer_subtree(params, cfg),
     }

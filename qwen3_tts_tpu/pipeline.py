@@ -151,13 +151,19 @@ class Qwen3TTSPipeline:
             self.pipeline_config.apply_runtime_quantization
             and self.config.quantization is None
         )
-        # Buffer sharing (int8 mode + kernels on): the jnp prefill/serving
-        # paths read the mega-kernels' own rowwise-int8 weights ("w8r"
-        # entries attached after device_put), so those subtrees are neither
-        # quantized here nor uploaded — the kernel copy is THE resident copy.
+        # Buffer sharing (kernels on): the jnp prefill/serving paths read the
+        # mega-kernels' own rowwise-int8 weights ("w8r" entries attached
+        # after device_put), so those subtrees are neither quantized here nor
+        # uploaded — the kernel copy is THE resident copy. Applies in int8
+        # runtime-quantization mode AND for pre-quantized checkpoints (the
+        # kernels re-quantize the dequantized packed weights rowwise-int8
+        # anyway; sharing drops the packed wq/wq_kl copies, which would
+        # otherwise triple the resident weight bytes, and makes prefill
+        # numerics match the kernel decode path exactly).
         int8_mode = self.pipeline_config.runtime_quantization_mode == "int8"
-        self._share_talker = rq and int8_mode and use_talker_k
-        self._share_cp = rq and int8_mode and use_cp_k
+        prequant = self.config.quantization is not None
+        self._share_talker = use_talker_k and (prequant or (rq and int8_mode))
+        self._share_cp = use_cp_k and (prequant or (rq and int8_mode))
         _TALKER_SHARED = ("layers", "codec_head")
         _CP_SHARED = ("layers", "lm_head", "codec_embedding")
 

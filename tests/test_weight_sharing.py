@@ -159,3 +159,36 @@ def test_pipeline_default_quantizes_without_kernels(tmp_path):
     assert "w" not in pl.params["layers"]["qkv_proj"]
     s = pl.generate("Quantized default.", "aiden", max_tokens=4, seed=0)
     assert s.size > 0 and np.all(np.isfinite(s))
+
+
+def test_pipeline_shares_kernel_buffers_prequantized(tmp_path):
+    """Pre-quantized (packed wq) checkpoint + kernels on: the packed jnp
+    copies are dropped too — the kernels' rowwise-int8 buffers are the only
+    resident talker/cp linear weights (previously the packed wq AND the
+    kernel copy both stayed resident), and generation still runs."""
+    from qwen3_tts_tpu.pipeline import (
+        Qwen3TTSPipeline,
+        Qwen3TTSPipelineConfiguration,
+    )
+    from qwen3_tts_tpu.testing import write_golden_model_dir
+
+    d = str(tmp_path / "m")
+    write_golden_model_dir(d)
+    cfgn = Qwen3TTSPipelineConfiguration(
+        use_talker_megakernel=True, use_cp_megakernel=True
+    )
+    pl = Qwen3TTSPipeline(d, cfgn, dtype=jnp.float32)
+    assert pl.config.quantization is not None  # really the packed load path
+
+    lay = pl.params["layers"]
+    k = pl.params["kernel"]
+    assert lay["qkv_proj"]["w8r"] is k["qkv_q"]
+    assert pl.params["codec_head"]["w8r"] is k["ch_q"]
+    for name in ("qkv_proj", "o_proj", "gateup_proj", "down_proj"):
+        assert "wq" not in lay[name] and "w" not in lay[name]
+    ck = pl.cp_params["kernel"]
+    assert pl.cp_params["lm_head"]["w8r"] is ck["head_q"]
+    assert pl.cp_params["layers"]["down_proj"]["w8r"] is ck["dn_q"]
+
+    s = pl.generate("Packed checkpoints share too.", "aiden", max_tokens=4, seed=0)
+    assert s.size > 0 and np.all(np.isfinite(s))
