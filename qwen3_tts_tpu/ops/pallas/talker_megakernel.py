@@ -39,7 +39,7 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from ..quant import w8a8_linear_ref
-from .cp_megakernel import M_PAD, _rms, _rot_half, _to_heads, _to_row, _w8a8
+from .cp_megakernel import M_PAD, _rms, _rot_half, _to_heads, _w8a8
 
 
 # ---------------------------------------------------------------------------
@@ -62,7 +62,8 @@ def _talker_kernel(
     fin_ln,                  # (1, hc)
     ch_q, ch_s, ch_m,        # codec head int8 (V, hc) + (1, V)
     # outputs
-    k_new, v_new,            # blocked (1, 8, nkv*hd) f32 per layer (row 0)
+    k_new,                   # blocked (1, 8, hd) f32 per layer (rows 0:nkv)
+    v_new,                   # blocked (1, 8, nkv*hd) f32 per layer (row 0)
     h_out, logits_out,       # (8, hc) f32, (8, V) f32 — written on last step
     # scratch (persists across grid steps)
     x_s, attn_s,
@@ -91,15 +92,13 @@ def _talker_kernel(
     row = qkv[0:1, :]
     q = _to_heads(row[:, : nq * hd], nq, hd)
     k = _to_heads(row[:, nq * hd:(nq + nkv) * hd], nkv, hd)
-    v = _to_heads(row[:, (nq + nkv) * hd:], nkv, hd)
+    v_row = row[:, (nq + nkv) * hd:]          # (1, nkv*hd) — direct slice
     q = _rms(q, q_ln[0], eps)
     k = _rms(k, k_ln[0], eps)
     q = q * cos_t + _rot_half(q, hd) * sin_t
     k = k * cos_t + _rot_half(k, hd) * sin_t
 
-    k_row = _to_row(k, nkv, hd)  # (1, nkv*hd)
-    v_row = _to_row(v, nkv, hd)
-    k_new[0, 0:1, :] = k_row
+    k_new[0, 0:nkv, :] = k                    # head-form output; no _to_row
     v_new[0, 0:1, :] = v_row
 
     # validity over ring slots: window_start <= pos (written slots only);
@@ -108,37 +107,67 @@ def _talker_kernel(
     valid = (pos_r >= 0) & (pos_r >= ws)
     neg = jnp.float32(-1e30)
 
-    outs = []
-    for j in range(nkv):
-        ks = kblk[:, j * hd:(j + 1) * hd].astype(jnp.float32)  # (C, hd)
-        vs = vblk[:, j * hd:(j + 1) * hd].astype(jnp.float32)
-        qp = q[j * group:(j + 1) * group, :]                   # (group, hd)
-        kj = k_row[:, j * hd:(j + 1) * hd]                     # (1, hd)
-        vj = v_row[:, j * hd:(j + 1) * hd]
-        sc_c = jax.lax.dot_general(
-            qp, ks, dimension_numbers=(((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.float32,
-            precision=jax.lax.Precision.HIGHEST,
-        ) * scale                                              # (group, C)
-        sc_c = jnp.where(valid, sc_c, neg)
-        sc_cur = jnp.sum(qp * kj, axis=-1, keepdims=True) * scale  # (group, 1)
-        # two-part softmax over [cache slots | current token] — equivalent to
-        # a concat + softmax, but Mosaic rejects lane-concats of values at
-        # mismatched offsets
-        mx = jnp.maximum(jnp.max(sc_c, axis=-1, keepdims=True), sc_cur)
-        e_c = jnp.exp(sc_c - mx)                               # (group, C)
-        e_cur = jnp.exp(sc_cur - mx)                           # (group, 1)
-        denom = jnp.sum(e_c, axis=-1, keepdims=True) + e_cur
-        out = (
-            jax.lax.dot_general(
-                e_c, vs, dimension_numbers=(((1,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32,
-                precision=jax.lax.Precision.HIGHEST,
-            ) + e_cur * vj
-        ) / denom                                              # (group, hd)
-        outs.append(out)
-    attn = jnp.concatenate(outs, axis=0)                       # (nq, hd)
-    attn_s[0:1, :] = _to_row(attn, nq, hd)
+    # ALL query heads in the M dimension of TWO cache-wide dots (the cp
+    # kernel's restructure, cp_megakernel.py token_pass): q_wide places head
+    # i's query in lane block i//group with exact zeros elsewhere, so the
+    # full-width contraction against the cache block equals the per-head
+    # 128-lane dot bit-for-bit (hd-aligned zero blocks add exact +0.0 to
+    # hd-aligned partial sums). Replaces a per-kv-head loop of 16 small dots
+    # plus 32 one-hot _to_row extraction dots per layer — the kernel was
+    # dot-issue-latency bound on top of its weight-DMA floor.
+    rows_i = jax.lax.broadcasted_iota(jnp.int32, (nq, 1), 0)
+    q_wide = jnp.concatenate(
+        [
+            q * (rows_i // group == j).astype(jnp.float32)
+            for j in range(nkv)
+        ],
+        axis=1,
+    )                                          # (nq, nkv*hd)
+    kb = kblk[:].astype(jnp.float32)           # (C, nkv*hd)
+    vb = vblk[:].astype(jnp.float32)
+    sc_c = jax.lax.dot_general(
+        q_wide, kb, dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.HIGHEST,
+    ) * scale                                  # (nq, C)
+    sc_c = jnp.where(valid, sc_c, neg)
+    # current token scores via a GQA-replicated k (sublane concat)
+    k_gqa = jnp.concatenate(
+        [k[i // group:i // group + 1, :] for i in range(nq)], axis=0
+    )                                          # (nq, hd)
+    sc_cur = jnp.sum(q * k_gqa, axis=-1, keepdims=True) * scale  # (nq, 1)
+    # two-part softmax over [cache slots | current token] — equivalent to
+    # a concat + softmax, but Mosaic rejects lane-concats of values at
+    # mismatched offsets
+    mx = jnp.maximum(jnp.max(sc_c, axis=-1, keepdims=True), sc_cur)
+    e_c = jnp.exp(sc_c - mx)                   # (nq, C)
+    e_cur = jnp.exp(sc_cur - mx)               # (nq, 1)
+    denom = jnp.sum(e_c, axis=-1, keepdims=True) + e_cur
+    out_wide = jax.lax.dot_general(
+        e_c, vb, dimension_numbers=(((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.HIGHEST,
+    )                                          # (nq, nkv*hd)
+    total = (out_wide + e_cur * v_row) / denom
+    # extract head i's slice (row i, lane block i//group) into a standard
+    # (1, nq*hd) row: one masked row-sum per intra-group offset (a single
+    # nonzero row per lane — exact), then hd-aligned lane-slice concats.
+    lanes_b = jax.lax.broadcasted_iota(jnp.int32, (nq, nkv * hd), 1) // hd
+    rows_b = jax.lax.broadcasted_iota(jnp.int32, (nq, nkv * hd), 0)
+    pieces = []
+    for r in range(group):
+        m_r = (
+            (lanes_b == rows_b // group) & (rows_b % group == r)
+        ).astype(jnp.float32)
+        pieces.append(jnp.sum(total * m_r, axis=0, keepdims=True))
+    attn_row = jnp.concatenate(
+        [
+            pieces[i % group][:, (i // group) * hd:(i // group + 1) * hd]
+            for i in range(nq)
+        ],
+        axis=1,
+    )                                          # (1, nq*hd)
+    attn_s[0:1, :] = attn_row
     h = h + _w8a8(attn_s[:], o_q[0], o_s[pl.ds(l, 1)][0], o_m[pl.ds(l, 1)][0])
     x2 = _rms(h, post_ln[0], eps)
     gu = _w8a8(x2, gu_q[0], gu_s[pl.ds(l, 1)][0], gu_m[pl.ds(l, 1)][0])
@@ -315,7 +344,9 @@ def talker_step_kernel(
     )
 
     slot = (position % capacity).astype(jnp.int32)
-    krow = k_new[:, 0, :].reshape(1, nl * nkv * hd).astype(cache2["k2"].dtype)
+    # k_new is head-form (nl, 8, hd) with rows 0:nkv live — flatten to the
+    # cache row layout [l][kv][d] outside the kernel (free XLA reshape)
+    krow = k_new[:, :nkv, :].reshape(1, nl * nkv * hd).astype(cache2["k2"].dtype)
     vrow = v_new[:, 0, :].reshape(1, nl * nkv * hd).astype(cache2["v2"].dtype)
     new_cache = {
         "k2": jax.lax.dynamic_update_slice(cache2["k2"], krow, (slot, 0)),
@@ -382,7 +413,7 @@ def _talker_kernel_call(
     out_specs = (
         # (1, 8, kvw) blocks: Mosaic requires the last two block dims to be
         # (8k, 128k) or equal to the array dims — a bare (1, kvw) row isn't
-        blk((1, 8, kvw), lambda l: (l, 0, 0)),         # k_new
+        blk((1, 8, hd), lambda l: (l, 0, 0)),          # k_new (head form)
         blk((1, 8, kvw), lambda l: (l, 0, 0)),         # v_new
         blk((8, hc), lambda l: (0, 0)),                # h_out
         blk((8, vocab), lambda l: (0, 0)),             # logits_out
@@ -393,7 +424,7 @@ def _talker_kernel_call(
         in_specs=in_specs,
         out_specs=out_specs,
         out_shape=(
-            jax.ShapeDtypeStruct((nl, 8, kvw), jnp.float32),
+            jax.ShapeDtypeStruct((nl, 8, hd), jnp.float32),
             jax.ShapeDtypeStruct((nl, 8, kvw), jnp.float32),
             jax.ShapeDtypeStruct((8, hc), jnp.float32),
             jax.ShapeDtypeStruct((8, vocab), jnp.float32),
