@@ -56,10 +56,9 @@ TEXT = (
 )
 
 
-_LINS = (
-    ("qkv_proj", "qkv"), ("o_proj", "o"),
-    ("gateup_proj", "gu"), ("down_proj", "dn"),
-)
+from qwen3_tts_tpu.ops.quant import KERNEL_SHARED_LINS as _LINS
+from qwen3_tts_tpu.ops.quant import kernel_w8r_view as _view
+from qwen3_tts_tpu.utils.memory import resident_bytes
 
 
 def build_models(config: Qwen3TTSConfig, dtype, use_kernels: bool):
@@ -92,9 +91,7 @@ def build_models(config: Qwen3TTSConfig, dtype, use_kernels: bool):
         )
         tk = build_talker_kernel_params_device(params, config)
 
-        def view(k, pre):
-            return {"w8r": k[f"{pre}_q"], "s": k[f"{pre}_s"], "m": k[f"{pre}_m"]}
-
+        view = _view
         qre = jax.jit(quantize_entry_rowwise_device)
         lay = dict(params["layers"])
         for name, pre in _LINS:
@@ -126,14 +123,7 @@ def build_models(config: Qwen3TTSConfig, dtype, use_kernels: bool):
 
 def resident_gb(*trees) -> float:
     """Device GiB across trees, counting shared (aliased) buffers once."""
-    seen: set[int] = set()
-    total = 0
-    for tree in trees:
-        for leaf in jax.tree.leaves(tree):
-            if hasattr(leaf, "nbytes") and id(leaf) not in seen:
-                seen.add(id(leaf))
-                total += leaf.nbytes
-    return total / 2**30
+    return resident_bytes(*trees) / 2**30
 
 
 def e2e_rtf(

@@ -93,9 +93,13 @@ def collect_report(
     checks["prefill_h_last"] = _stat(state["h_last"])
     checks["prefill_logits"] = _stat(state["logits"])
 
+    # resume decode from the state we just checksummed — same buckets and
+    # statics (chunk_steps=8, track_cp_penalty=True), so the prompt forward
+    # pass runs once, not twice
     frames = gen_mod.generate_codes(
         pl.params, pl.cp_params, pl.config, pd,
         temperature=0.0, max_tokens=max_tokens, seed=seed, chunk_steps=8,
+        initial_state=state,
     )
     valid = gen_mod.filter_valid_frames(frames)
     wav = pl._decode_to_audio(valid)

@@ -278,11 +278,18 @@ def stream_codes(
     track_cp_penalty: bool = True,
     repetition_penalty: float = 1.05,
     seed: int = 0,
+    initial_state: dict | None = None,
 ):
     """Generator over raw frame chunks [<=chunk_steps, 16] int32 — the
     streaming producer (reference Qwen3Talker.generateStream,
     Qwen3Talker.swift:633-885). Prefill + each decode chunk are single jitted
     device calls; codes cross to host once per chunk.
+
+    `initial_state`: a prefill() result to resume from instead of prefilling
+    here — the caller must have built it from THIS prompt_data with matching
+    statics (same buckets / chunk_steps / penalty settings and seed). Used by
+    io/verify.py, which checksums prefill activations and then decodes from
+    the same state rather than paying the prompt forward pass twice.
     """
     dtype = prompt_data.input_embeds.dtype
     p = int(prompt_data.input_embeds.shape[1])
@@ -305,17 +312,20 @@ def stream_codes(
         repetition_penalty=repetition_penalty,
     )
 
-    rng = jax.random.PRNGKey(seed)
-    state = prefill(
-        params,
-        embeds_padded,
-        jnp.int32(p),
-        trailing_padded,
-        jnp.int32(t),
-        prompt_data.tts_pad_embed,
-        rng,
-        statics,
-    )
+    if initial_state is not None:
+        state = initial_state
+    else:
+        rng = jax.random.PRNGKey(seed)
+        state = prefill(
+            params,
+            embeds_padded,
+            jnp.int32(p),
+            trailing_padded,
+            jnp.int32(t),
+            prompt_data.tts_pad_embed,
+            rng,
+            statics,
+        )
 
     temp = jnp.float32(temperature)
     emitted = 0

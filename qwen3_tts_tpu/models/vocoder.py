@@ -286,12 +286,17 @@ def decode_frames(
     # The head-PACKED mega-kernel (scores/AV as two large stacked matmuls,
     # ops/pallas/pretransformer_kernel.py::pre_transformer_packed) wins at
     # every chunk length measured on v5e (the old per-head variant lost past
-    # T=64), so there is no T gate; the (batch, layer) grid still refetches
-    # each layer's weight block per batch row — single-stream (B=1) only.
+    # T=64); the (batch, layer) grid still refetches each layer's weight
+    # block per batch row — single-stream (B=1) only. T is capped at 128:
+    # the kernel's (nh*T)^2 f32 score/softmax intermediates grow
+    # quadratically (~48 MB each at T=210) and exceed the 127 MB VMEM
+    # budget for large QWEN3TTS_DECODE_CHUNK_SIZE overrides — beyond the
+    # cap the jnp path takes over.
     if (
         kernel is not None
         and kernel.get("pre_transformer") is not None
         and codes.shape[0] == 1
+        and codes.shape[2] <= 128
     ):
         from ..ops.pallas.pretransformer_kernel import pre_transformer_packed
 

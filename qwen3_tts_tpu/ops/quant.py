@@ -321,6 +321,26 @@ def quantize_entry_rowwise_device(entry: dict) -> dict:
     return out
 
 
+# Talker/cp decoder-layer linears whose jnp entries can be VIEWS of the
+# mega-kernels' rowwise-int8 buffers (zero extra HBM): (layer key, kernel
+# prefix). Shared by pipeline loading and bench's mirror of it.
+KERNEL_SHARED_LINS = (
+    ("qkv_proj", "qkv"), ("o_proj", "o"),
+    ("gateup_proj", "gu"), ("down_proj", "dn"),
+)
+
+
+def kernel_w8r_view(kernel_tree: dict, pre: str) -> dict:
+    """A {"w8r","s","m"} linear/table entry aliasing the mega-kernel buffers
+    `pre`_q/_s/_m — the SAME device arrays appear in both trees, so resident
+    accounting that dedupes by buffer id counts them once."""
+    return {
+        "w8r": kernel_tree[f"{pre}_q"],
+        "s": kernel_tree[f"{pre}_s"],
+        "m": kernel_tree[f"{pre}_m"],
+    }
+
+
 def quantize_rowwise_int8_jnp(
     w: jax.Array,
 ) -> tuple[jax.Array, jax.Array, jax.Array]:

@@ -261,13 +261,8 @@ class Qwen3TTSPipeline:
         # Attach the shared views: the SAME device buffers appear both in the
         # kernel subtree (streamed by the Pallas decode kernels) and as "w8r"
         # linear/table entries (read by jnp prefill + serving) — zero extra HBM.
-        def _view(k, pre):
-            return {"w8r": k[f"{pre}_q"], "s": k[f"{pre}_s"], "m": k[f"{pre}_m"]}
-
-        _LINS = (
-            ("qkv_proj", "qkv"), ("o_proj", "o"),
-            ("gateup_proj", "gu"), ("down_proj", "dn"),
-        )
+        from .ops.quant import KERNEL_SHARED_LINS as _LINS
+        from .ops.quant import kernel_w8r_view as _view
         if self._share_talker:
             k = self.params["kernel"]
             lay = dict(self.params["layers"])
@@ -346,21 +341,15 @@ class Qwen3TTSPipeline:
     def model_resident_bytes(self) -> int:
         """Device bytes held by the resident model (talker + code predictor +
         vocoder + encoders), counting buffers shared between the kernel
-        subtrees and the jnp "w8r" views once. The reference's analogue is
-        its quantized resident model (Qwen3TTSPipeline.swift:961-980)."""
-        seen: set[int] = set()
-        total = 0
+        subtrees and the jnp "w8r" views once (utils/memory.py)."""
+        from .utils.memory import resident_bytes
+
         trees = [self.params, self.cp_params, self.vocoder_params]
         if self.speaker_encoder is not None:
             trees.append(getattr(self.speaker_encoder, "params", None))
         if self.audio_encoder is not None:
             trees.append(getattr(self.audio_encoder, "params", None))
-        for tree in trees:
-            for leaf in jax.tree.leaves(tree):
-                if hasattr(leaf, "nbytes") and id(leaf) not in seen:
-                    seen.add(id(leaf))
-                    total += leaf.nbytes
-        return total
+        return resident_bytes(*trees)
 
     # -- capability surface (reference Qwen3TTSPipeline.swift:77-104) -------
 

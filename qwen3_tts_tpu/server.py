@@ -33,6 +33,7 @@ from __future__ import annotations
 
 import base64
 import json
+import queue
 import sys
 import threading
 from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
@@ -109,19 +110,56 @@ def make_handler(pipeline: Qwen3TTSPipeline):
                     samples = pipeline.generate(text, speaker, **kwargs)
                 self._send(200, wav_data(np.asarray(samples)), "audio/wav")
                 return
-            # Chunked streaming: commit the 200 + header up front, then PCM
-            # per vocoder chunk. Mid-stream errors can only truncate the
-            # stream (the status line is already on the wire).
+            # Chunked streaming, decoupled from client pace: a producer
+            # thread generates under the (global) lock into an unbounded
+            # queue while THIS thread writes to the socket outside the lock
+            # — a slow-reading client must not stall every other request
+            # (PCM is ~48 KB/s of buffered audio worst case). The 200 is
+            # committed only after the first queue item, so a failure before
+            # any audio (bad speaker, prefill OOM) still gets a clean JSON
+            # error; a failure after that legally terminates the chunked
+            # body (truncated audio) instead of writing a second status
+            # line into it.
+            q: queue.Queue = queue.Queue()
+            stop = threading.Event()
+
+            def produce() -> None:
+                try:
+                    with lock:
+                        for chunk in pipeline.generate_stream(
+                            text, speaker, **kwargs
+                        ):
+                            if stop.is_set():
+                                break
+                            if len(chunk.samples):
+                                q.put(pcm16_bytes(chunk.samples))
+                    q.put(None)
+                except Exception as e:  # classified by the consumer
+                    q.put(e)
+
+            threading.Thread(target=produce, daemon=True).start()
+            first = q.get()
+            if isinstance(first, Exception):
+                raise first  # do_POST maps it to a 400/500 JSON response
             self.send_response(200)
             self.send_header("Content-Type", "audio/wav")
             self.send_header("Transfer-Encoding", "chunked")
             self.end_headers()
-            self._write_chunk(streaming_wav_header(pipeline.sample_rate))
-            with lock:
-                for chunk in pipeline.generate_stream(text, speaker, **kwargs):
-                    if len(chunk.samples):
-                        self._write_chunk(pcm16_bytes(chunk.samples))
-            self.wfile.write(b"0\r\n\r\n")
+            try:
+                self._write_chunk(streaming_wav_header(pipeline.sample_rate))
+                item = first
+                while item is not None:
+                    if isinstance(item, Exception):
+                        break  # truncate the stream; audio ends early
+                    self._write_chunk(item)
+                    item = q.get()
+                self.wfile.write(b"0\r\n\r\n")
+                if item is not None:
+                    self.close_connection = True
+            except (BrokenPipeError, ConnectionResetError):
+                self.close_connection = True
+            finally:
+                stop.set()  # abort generation if the client went away
 
         def _tts_many(self, req: dict) -> None:
             texts = req.get("texts")

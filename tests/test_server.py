@@ -6,16 +6,16 @@ import http.client
 import json
 
 import jax.numpy as jnp
+import numpy as np
 import pytest
 
-from qwen3_tts_tpu.io.wav import wav_to_float_samples
-from qwen3_tts_tpu.pipeline import Qwen3TTSPipeline
+from qwen3_tts_tpu.io.wav import streaming_wav_header, wav_to_float_samples
+from qwen3_tts_tpu.pipeline import AudioChunk, Qwen3TTSError, Qwen3TTSPipeline
 from qwen3_tts_tpu.server import serve
 from qwen3_tts_tpu.testing import write_tiny_model_dir
 
-pytestmark = pytest.mark.slow
 
-
+@pytest.mark.slow
 def test_http_server_round_trip(tmp_path):
     d = str(tmp_path / "m")
     write_tiny_model_dir(d)
@@ -92,5 +92,89 @@ def test_http_server_round_trip(tmp_path):
         r = conn.getresponse()
         assert r.status == 400
         r.read()
+    finally:
+        httpd.shutdown()
+
+
+class _FakePipeline:
+    """Just enough surface for make_handler: streaming tests don't need a
+    real model, so the error paths run in the smoke tier."""
+
+    sample_rate = 24000
+    available_speakers = ["fake"]
+
+    def __init__(self, stream_fn):
+        self.generate_stream = stream_fn
+
+
+def _serve_fake(stream_fn):
+    httpd = serve(_FakePipeline(stream_fn), port=0)
+    return httpd, httpd.server_address[1]
+
+
+def _post_stream(port):
+    conn = http.client.HTTPConnection("127.0.0.1", port, timeout=60)
+    conn.request(
+        "POST", "/tts?stream=1", body=json.dumps({"text": "x"}),
+        headers={"Content-Type": "application/json"},
+    )
+    return conn, conn.getresponse()
+
+
+def test_stream_error_before_first_audio_is_json():
+    """A failure before any audio chunk (bad request, prefill OOM) must
+    produce a clean JSON error response, not a committed 200 stream."""
+
+    def boom(text, speaker="", **kwargs):
+        raise Qwen3TTSError("no such voice")
+        yield  # pragma: no cover - makes this a generator function
+
+    httpd, port = _serve_fake(boom)
+    try:
+        conn, r = _post_stream(port)
+        assert r.status == 400
+        assert "no such voice" in json.loads(r.read())["error"]
+        conn.close()
+    finally:
+        httpd.shutdown()
+
+
+def test_stream_error_before_first_audio_500_for_runtime():
+    def boom(text, speaker="", **kwargs):
+        raise RuntimeError("XLA ran out of memory")
+        yield  # pragma: no cover
+
+    httpd, port = _serve_fake(boom)
+    try:
+        conn, r = _post_stream(port)
+        assert r.status == 500
+        assert "RuntimeError" in json.loads(r.read())["error"]
+        conn.close()
+    finally:
+        httpd.shutdown()
+
+
+def test_stream_error_mid_stream_truncates_body():
+    """Once the 200 + chunked header is on the wire, a producer failure must
+    terminate the chunked body early (truncated audio) — never write a second
+    status line into the stream."""
+    frame = np.full(1920, 0.25, np.float32)
+
+    def flaky(text, speaker="", **kwargs):
+        yield AudioChunk(samples=frame, token_range=(0, 1), is_final=False)
+        raise RuntimeError("device wedged mid-generation")
+
+    httpd, port = _serve_fake(flaky)
+    try:
+        conn, r = _post_stream(port)
+        assert r.status == 200
+        assert r.getheader("Transfer-Encoding") == "chunked"
+        body = r.read()  # server sent the terminal chunk, so this completes
+        assert body[:4] == b"RIFF"
+        # exactly the header + the one frame that made it out
+        assert len(body) == len(streaming_wav_header(24000)) + frame.size * 2
+        # the server closes the connection after a truncated stream
+        assert r.will_close or r.isclosed()
+        conn.close()
     finally:
         httpd.shutdown()
