@@ -32,7 +32,7 @@ from qwen3_tts_tpu.ops.pallas.vocoder_kernels import (
 )
 
 
-def stage_fns(cfg):
+def stage_fns(cfg, tail_fused=False):
     """Ordered (name, fn) where each fn advances the carried activation."""
 
     def up(params, h):
@@ -58,30 +58,64 @@ def stage_fns(cfg):
                     wav = voc._residual_unit(unit, wav, dil)
         return wav
 
-    return [
+    def pt(params, h):
+        # mirror decode_frames: the head-packed kernel is the production
+        # path at B=1, T<=128 (models/vocoder.py)
+        kernel = params.get("kernel")
+        if (
+            kernel is not None
+            and kernel.get("pre_transformer") is not None
+            and h.shape[0] == 1
+            and h.shape[1] <= 128
+        ):
+            from qwen3_tts_tpu.ops.pallas.pretransformer_kernel import (
+                pre_transformer_packed,
+            )
+
+            return pre_transformer_packed(
+                kernel["pre_transformer"], h,
+                nl=cfg.num_hidden_layers, nh=cfg.num_attention_heads,
+                hd=cfg.head_dim, eps=cfg.rms_norm_eps,
+                rope_theta=cfg.rope_theta,
+            )
+        return pre_transformer(params["pre_transformer"], h, cfg)
+
+    stages = [
         ("rvq+pre_conv", lambda p, c: causal_conv1d(
             p["pre_conv"], rvq_decode(p["quantizer"], c))),
-        ("pre_transformer", lambda p, h: pre_transformer(
-            p["pre_transformer"], h, cfg)),
+        ("pre_transformer", lambda p, h: pt(p, h)),
         ("upsample(convnext)", up),
         ("initial_conv", lambda p, h: left_pad_conv1d(
             p["decoder"]["initial_conv"], h)),
         ("seanet_blocks", blocks),
-        ("out_snake+conv", lambda p, w: jnp.clip(
-            left_pad_conv1d(
-                p["decoder"]["out_conv"],
-                snake_beta(p["decoder"]["out_snake"], w),
-            )[..., 0].astype(jnp.float32), -1.0, 1.0)),
     ]
+    if not tail_fused:
+        # with tail fusion (kernel blocks carry "t_w"), the last SEANet
+        # kernel already applied out_snake + out_conv + clip
+        stages.append(
+            ("out_snake+conv", lambda p, w: jnp.clip(
+                left_pad_conv1d(
+                    p["decoder"]["out_conv"],
+                    snake_beta(p["decoder"]["out_snake"], w),
+                )[..., 0].astype(jnp.float32), -1.0, 1.0)))
+    return stages
 
 
 def timeit(fn, *args, n=30):
+    # block_until_ready can return WITHOUT device completion on this axon
+    # stack (measured: an 8192^3 matmul "finished" in 0.08 ms) — a host
+    # readback of one element is the only trustworthy completion barrier.
+    # N pipelined dispatches + one readback amortizes the ~40 ms tunnel RTT.
+    def sync(o):
+        leaf = jax.tree.leaves(o)[0]
+        return float(jnp.sum(jnp.abs(leaf[..., -1])))
+
     out = fn(*args)
-    jax.block_until_ready(out)
+    sync(out)
     t0 = time.perf_counter()
     for _ in range(n):
         out = fn(*args)
-    jax.block_until_ready(out)
+    sync(out)
     return (time.perf_counter() - t0) / n * 1e3
 
 
@@ -99,7 +133,7 @@ def main():
     )(params)
     jax.block_until_ready(params["kernel"])
 
-    fns = stage_fns(cfg)
+    fns = stage_fns(cfg, tail_fused="t_w" in params["kernel"]["blocks"][-1])
     t = 26 if len(sys.argv) < 2 else int(sys.argv[1])
     codes = jnp.zeros((1, cfg.num_quantizers, t), jnp.int32)
 
