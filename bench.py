@@ -1,6 +1,11 @@
 """Benchmark: END-TO-END real-time factor on the default JAX backend.
 
-Prints ONE JSON line {"metric", "value", "unit", "vs_baseline", "aux"}.
+Prints ONE JSON line {"metric", "value", "unit", "vs_baseline", "aux"} —
+ALWAYS, even when the TPU backend cannot initialize (the round-3 capture
+died silently on a transient tunnel failure): backend init is probed with
+bounded retries, every sub-measurement is failure-contained into aux, and
+a persistent failure degrades to {"value": null, "error": ...} rather than
+a missing line.
 
 Headline = end-to-end single-stream RTF at 1.7B-class dims — the BASELINE.md
 north-star metric (RTF < 0.05 on one v5e chip), measured with the reference's
@@ -21,7 +26,9 @@ from __future__ import annotations
 
 import json
 import os
+import sys
 import time
+import traceback
 
 import jax
 import jax.numpy as jnp
@@ -269,7 +276,153 @@ def serving_rtf(
     return min(samples)
 
 
-def main() -> None:
+def stream_consumer_rtf(
+    config: Qwen3TTSConfig, voc_params, vcfg, n_chunks: int = 3
+) -> float:
+    """Streaming-CONSUMER RTF: the generate_stream-shaped loop — decode chunk
+    i+1 dispatched before the host reads chunk i's frames, each chunk's codes
+    vocoded (8-frame left context, one fixed signature) and the PCM pulled to
+    host as a consumer would. The parity-mode headline additionally bills one
+    ~35 ms tunnel round-trip for its single final sync (~0.36 ms/frame at 96
+    frames); real deployments stream and amortize it — this measures that
+    deployment mode honestly rather than subtracting an estimate."""
+    dtype = jnp.bfloat16
+    params, cp_params = build_models(config, dtype, use_kernels=True)
+    pd = prompt_mod.assemble_prompt(
+        params, config, FakeByteTokenizer(), TEXT, speaker="aiden"
+    )
+    p = int(pd.input_embeds.shape[1])
+    t = int(pd.trailing_hidden.shape[1])
+    pb = gen_mod.pick_bucket(p)
+    tb = gen_mod.pick_bucket(t, gen_mod.TRAILING_BUCKETS)
+    h = config.hidden_size
+    embeds = jnp.zeros((1, pb, h), dtype).at[:, :p].set(pd.input_embeds)
+    trailing = jnp.zeros((1, tb, h), dtype).at[:, :t].set(pd.trailing_hidden)
+    statics = gen_mod.GenStatics(
+        config=config, capacity=pb + gen_mod.RING_SLACK,
+        chunk_steps=CHUNK_STEPS, track_cp_penalty=False,
+    )
+    temp = jnp.float32(0.9)
+    ctx = 8
+    width = ctx + CHUNK_STEPS
+
+    def run():
+        state = gen_mod.prefill(
+            params, embeds, jnp.int32(p), trailing, jnp.int32(t),
+            pd.tts_pad_embed, jax.random.PRNGKey(42), statics,
+        )
+        pending = gen_mod.decode_chunk(params, cp_params, state, temp, statics)
+        emitted = 0
+        prev_tail = np.zeros((ctx, 16), np.int32)
+        for i in range(n_chunks):
+            frames, count, eos, state = pending
+            if i + 1 < n_chunks:
+                pending = gen_mod.decode_chunk(
+                    params, cp_params, state, temp, statics
+                )
+            f_np = np.asarray(frames)  # host readback of chunk i's codes
+            emitted += int(count)
+            row = np.concatenate([prev_tail, np.clip(f_np, 0, vcfg.codebook_size - 1)])
+            prev_tail = row[-ctx:]
+            wav = voc.decode_frames_jit(
+                voc_params, jnp.asarray(row.T[None]), vcfg
+            )
+            pcm = np.asarray(wav)  # consumer pulls the PCM
+        # the last chunk's readbacks above already forced completion
+        del pcm
+        return emitted
+
+    run()  # compile
+    samples = []
+    for _ in range(3):
+        t0 = time.perf_counter()
+        n = run()
+        wall = time.perf_counter() - t0
+        samples.append(wall / (max(n, 1) * FRAME_SECONDS))
+    return min(samples)
+
+
+def kernel_parity_check(config: Qwen3TTSConfig) -> dict:
+    """One greedy decode chunk, compiled mega-kernels vs the jnp path, on the
+    CURRENT backend. The CPU test suite proves parity under the Pallas
+    interpreter; this closes the 'Mosaic compiled != interpreter' gap on real
+    hardware every bench run (VERDICT r3 weak item 8). Both paths read the
+    same rowwise-int8 weights (the w8r views alias the kernel buffers)."""
+    dtype = jnp.bfloat16
+    params, cp_params = build_models(config, dtype, use_kernels=True)
+    pd = prompt_mod.assemble_prompt(
+        params, config, FakeByteTokenizer(), TEXT, speaker="aiden"
+    )
+    p = int(pd.input_embeds.shape[1])
+    t = int(pd.trailing_hidden.shape[1])
+    pb = gen_mod.pick_bucket(p)
+    tb = gen_mod.pick_bucket(t, gen_mod.TRAILING_BUCKETS)
+    h = config.hidden_size
+    embeds = jnp.zeros((1, pb, h), dtype).at[:, :p].set(pd.input_embeds)
+    trailing = jnp.zeros((1, tb, h), dtype).at[:, :t].set(pd.trailing_hidden)
+    statics = gen_mod.GenStatics(
+        config=config, capacity=pb + gen_mod.RING_SLACK,
+        chunk_steps=CHUNK_STEPS, track_cp_penalty=True,
+    )
+    args = (
+        embeds, jnp.int32(p), trailing, jnp.int32(t), pd.tts_pad_embed,
+        jax.random.PRNGKey(42),
+    )
+    temp = jnp.float32(0.0)
+
+    outs = []
+    for pr, cpr in (
+        (params, cp_params),
+        (
+            {k: v for k, v in params.items() if k != "kernel"},
+            {k: v for k, v in cp_params.items() if k != "kernel"},
+        ),
+    ):
+        state = gen_mod.prefill(pr, *args, statics)
+        frames, count, eos, _ = gen_mod.decode_chunk(pr, cpr, state, temp, statics)
+        n = int(count)
+        outs.append(np.asarray(frames)[:n])
+    match = outs[0].shape == outs[1].shape and bool(
+        np.array_equal(outs[0], outs[1])
+    )
+    frames_equal = (
+        int(np.sum(np.all(outs[0] == outs[1], axis=1)))
+        if outs[0].shape == outs[1].shape
+        else 0
+    )
+    return {
+        "tpu_kernel_vs_jnp_greedy_match": match,
+        "tpu_kernel_parity_frames": f"{frames_equal}/{len(outs[0])}",
+    }
+
+
+def _probe_backend(aux: dict, tries: int = 4) -> None:
+    """Force backend init with bounded retries — the r3 capture died on a
+    TRANSIENT 'Unable to initialize backend axon' at the first device op and
+    emitted nothing. A flaky tunnel must cost a retry, never the JSON line."""
+    delays = (15, 45, 90)
+    for attempt in range(tries):
+        try:
+            jnp.zeros((8,), jnp.float32).block_until_ready()
+            aux["backend"] = jax.default_backend()
+            if attempt:
+                aux["backend_init_retries"] = attempt
+            return
+        except Exception as e:
+            aux["backend_init_error"] = f"{type(e).__name__}: {e}"[:300]
+            if attempt == tries - 1:
+                raise
+            try:  # drop the cached failed backend so the retry is real
+                jax.extend.backend.clear_backends()
+            except Exception:
+                pass
+            time.sleep(delays[min(attempt, len(delays) - 1)])
+
+
+def run_all(out: dict) -> None:
+    aux = out["aux"]
+    _probe_backend(aux)
+
     vcfg = TokenizerDecoderConfig()  # real vocoder dims (1920x upsample)
     voc_params = jax.jit(
         lambda k: voc.init_vocoder_params(vcfg, k, jnp.float32)
@@ -288,49 +441,91 @@ def main() -> None:
         )(voc_params)
         jax.block_until_ready(voc_params["kernel"])
 
-    aux = {}
-    rtf_06 = e2e_rtf(
-        Qwen3TTSConfig.standard(), voc_params, vcfg,
-        aux_out=aux, aux_key="0.6b",
+    def phase(name: str, fn):
+        """Run one sub-measurement; a failure costs its aux entry, nothing
+        else (no phase may kill the bench line)."""
+        try:
+            return fn()
+        except Exception as e:
+            aux[f"{name}_error"] = f"{type(e).__name__}: {e}"[:300]
+            traceback.print_exc(file=sys.stderr)
+            return None
+
+    rtf_06 = phase(
+        "e2e_rtf_0.6b",
+        lambda: e2e_rtf(
+            Qwen3TTSConfig.standard(), voc_params, vcfg,
+            aux_out=aux, aux_key="0.6b",
+        ),
     )
-    aux["e2e_rtf_0.6b_parity"] = round(rtf_06, 5)
-    try:
-        rtf_17 = e2e_rtf(
+    if rtf_06 is not None:
+        aux["e2e_rtf_0.6b_parity"] = round(rtf_06, 5)
+    rtf_17 = phase(
+        "e2e_rtf_1.7b",
+        lambda: e2e_rtf(
             Qwen3TTSConfig.standard_1_7b(), voc_params, vcfg,
             aux_out=aux, aux_key="1.7b",
-        )
-        aux["e2e_rtf_1.7b_stream"] = round(
-            e2e_rtf(
-                Qwen3TTSConfig.standard_1_7b(), voc_params, vcfg,
-                track_cp_penalty=False,
-            ),
-            5,
-        )
-    except Exception as e:  # report honestly rather than die
-        aux["e2e_rtf_1.7b_error"] = type(e).__name__
-        rtf_17 = None
-    srv_rtf = serving_rtf(
-        Qwen3TTSConfig.standard(), voc_params, vcfg, aux_out=aux
+        ),
     )
-    aux["serving_rtf_per_chip_0.6b_b32_incl_vocoder"] = round(srv_rtf, 5)
+    stream_17 = phase(
+        "e2e_rtf_1.7b_stream",
+        lambda: e2e_rtf(
+            Qwen3TTSConfig.standard_1_7b(), voc_params, vcfg,
+            track_cp_penalty=False,
+        ),
+    )
+    if stream_17 is not None:
+        aux["e2e_rtf_1.7b_stream"] = round(stream_17, 5)
+    consumer_17 = phase(
+        "e2e_rtf_1.7b_stream_consumer",
+        lambda: stream_consumer_rtf(
+            Qwen3TTSConfig.standard_1_7b(), voc_params, vcfg
+        ),
+    )
+    if consumer_17 is not None:
+        aux["e2e_rtf_1.7b_stream_consumer"] = round(consumer_17, 5)
+    srv_rtf = phase(
+        "serving_rtf",
+        lambda: serving_rtf(
+            Qwen3TTSConfig.standard(), voc_params, vcfg, aux_out=aux
+        ),
+    )
+    if srv_rtf is not None:
+        aux["serving_rtf_per_chip_0.6b_b32_incl_vocoder"] = round(srv_rtf, 5)
+    if jax.default_backend() == "tpu":
+        parity = phase(
+            "kernel_parity",
+            lambda: kernel_parity_check(Qwen3TTSConfig.standard()),
+        )
+        if parity is not None:
+            aux.update(parity)
 
     headline = rtf_17 if rtf_17 is not None else rtf_06
-    name = (
-        "e2e_rtf_1.7b_bf16_w8a8_parity"
-        if rtf_17 is not None
-        else "e2e_rtf_0.6b_bf16_w8a8_parity"
-    )
-    print(
-        json.dumps(
-            {
-                "metric": name,
-                "value": round(headline, 5),
-                "unit": "rtf",
-                "vs_baseline": round(headline / BASELINE_RTF, 4),
-                "aux": aux,
-            }
+    if headline is not None:
+        out["metric"] = (
+            "e2e_rtf_1.7b_bf16_w8a8_parity"
+            if rtf_17 is not None
+            else "e2e_rtf_0.6b_bf16_w8a8_parity"
         )
-    )
+        out["value"] = round(headline, 5)
+        out["vs_baseline"] = round(headline / BASELINE_RTF, 4)
+
+
+def main() -> None:
+    out = {
+        "metric": "e2e_rtf_1.7b_bf16_w8a8_parity",
+        "value": None,
+        "unit": "rtf",
+        "vs_baseline": None,
+        "aux": {},
+    }
+    try:
+        run_all(out)
+    except Exception as e:
+        # total containment: the driver must ALWAYS have a JSON line to parse
+        out["error"] = f"{type(e).__name__}: {e}"[:500]
+        traceback.print_exc(file=sys.stderr)
+    print(json.dumps(out), flush=True)
 
 
 if __name__ == "__main__":
