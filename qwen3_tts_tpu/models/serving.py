@@ -116,15 +116,20 @@ def predict_frame_batched(
     """Batched MTP head: codes 1..15 for B streams (cp positions are shared
     across streams, so _cp_forward's native batch dim applies directly).
 
-    code_hidden/code0_embed [B,1,H]; keys [B,2] per-stream PRNG keys.
-    Returns (codes [B,15] int32, embed_sum [B,1,H]). Repetition-penalty
-    tracking is per-utterance state the streaming path skips (reference
-    generateStream behavior); serving does the same.
+    code_hidden/code0_embed [B,1,H]; keys [B,2] per-stream PRNG keys;
+    temperature scalar (shared) or [B] (per-stream — independent HTTP
+    requests carry their own). Returns (codes [B,15] int32, embed_sum
+    [B,1,H]). Repetition-penalty tracking is per-utterance state the
+    streaming path skips (reference generateStream behavior); serving does
+    the same.
     """
     ng = config.num_code_groups - 1
     nl = config.num_hidden_layers
     b = code_hidden.shape[0]
     dtype = code_hidden.dtype
+    temps = jnp.broadcast_to(
+        jnp.asarray(temperature, jnp.float32).reshape(-1), (b,)
+    )
     cache_shape = (nl, b, config.num_key_value_heads, cp_mod.CP_CACHE_LEN, config.head_dim)
     ck = jnp.zeros(cache_shape, dtype)
     cv = jnp.zeros(cache_shape, dtype)
@@ -143,14 +148,14 @@ def predict_frame_batched(
     h_last, ck, cv = cp_mod._cp_forward(cp_params, x0, ck, cv, jnp.int32(0), config)
 
     sample_b = jax.vmap(
-        lambda lg, k: sample_token(lg, k, temperature), in_axes=(0, 0)
+        lambda lg, k, tmp: sample_token(lg, k, tmp), in_axes=(0, 0, 0)
     )
 
     def sample_group(k_idx, h_last_g, group_keys):
         logits = linear_ops.table_matmul(
             head_tables, k_idx, h_last_g[:, 0, :].astype(jnp.float32)
         )
-        return sample_b(logits, group_keys)
+        return sample_b(logits, group_keys, temps)
 
     all_keys = jax.vmap(lambda k: jax.random.split(k, ng))(keys)  # [B, ng, 2]
 
@@ -279,6 +284,10 @@ def decode_chunk_serving(
 ) -> tuple[jax.Array, jax.Array, jax.Array, dict]:
     """Lockstep batched decode of up to chunk_steps frames for B streams.
 
+    `temperature`: shared scalar or per-stream [B] vector (independently
+    arriving HTTP requests keep their own sampling temperature; a scalar
+    compiles to the same program it always did, broadcast at the top).
+
     Returns (frames [B, chunk, 16] int32 (pad-frames = -1 for finished
     streams), counts [B], eos [B], state).
     """
@@ -287,6 +296,9 @@ def decode_chunk_serving(
     ng = cp_cfg.num_code_groups
     chunk = statics.chunk_steps
     b = state["logits"].shape[0]
+    temps = jnp.broadcast_to(
+        jnp.asarray(temperature, jnp.float32).reshape(-1), (b,)
+    )
 
     eos_id = jnp.int32(cfg.codec_eos_token_id)
     pad_id = jnp.int32(cfg.codec_pad_id)
@@ -298,12 +310,12 @@ def decode_chunk_serving(
     valid_mask = talker_valid_mask(cfg.vocab_size)
 
     sample_b = jax.vmap(
-        lambda lg, k, seen: sample_token(
-            lg, k, temperature,
+        lambda lg, k, seen, tmp: sample_token(
+            lg, k, tmp,
             seen_mask=seen, repetition_penalty=statics.repetition_penalty,
             valid_mask=valid_mask,
         ),
-        in_axes=(0, 0, 0),
+        in_axes=(0, 0, 0, 0),
     )
 
     def cond(carry):
@@ -320,7 +332,7 @@ def decode_chunk_serving(
 
         has_text = state["trailing_idx"] < state["total_texts"]
         lg = state["logits"] + jnp.where(has_text[:, None], eos_pad_mask[None], 0.0)
-        code0 = sample_b(lg, k0s, state["seen_code0"])  # [B]
+        code0 = sample_b(lg, k0s, state["seen_code0"], temps)  # [B]
 
         is_eos = code0 == eos_id
         is_pad = code0 == pad_id
@@ -330,7 +342,7 @@ def decode_chunk_serving(
 
         code0_embed = talker_mod.encode_audio(params, code0[:, None])  # [B,1,H]
         codes15, embed_sum = predict_frame_batched(
-            cp_params, state["h_last"], code0_embed, kcps, temperature, cp_cfg
+            cp_params, state["h_last"], code0_embed, kcps, temps, cp_cfg
         )
         frame = jnp.concatenate([code0[:, None], codes15], axis=1)  # [B,16]
         frame = jnp.where(emit[:, None], frame, -1)
@@ -570,6 +582,21 @@ def concat_states(states: list[dict]) -> dict:
     ):
         out[key] = jnp.concatenate([s[key] for s in states], axis=0)
     return out
+
+
+@functools.partial(jax.jit, donate_argnames=("state",))
+def park_slot(state: dict, idx: jax.Array) -> dict:
+    """Force batch row `idx` to EOS (and blank its cache validity) — used
+    when a request completes on the host side (max_tokens reached, client
+    cancelled) without the stream emitting codec EOS: the slot must stop
+    costing emit-path work and must not keep the batch's while-loop alive
+    once everything else is idle."""
+    new = dict(state)
+    new["eos"] = state["eos"].at[idx].set(True)
+    cache = dict(state["cache"])
+    cache["pos"] = state["cache"]["pos"].at[idx].set(-1)
+    new["cache"] = cache
+    return new
 
 
 @jax.jit

@@ -2,17 +2,23 @@
 
 A production-shaped surface the reference lacks entirely (its only entry
 point is a CLI example, main.swift:12-27). Stdlib-only (http.server) so it
-runs anywhere the package does; generation is serialized through a lock
-because a pipeline instance holds one set of jit caches. Scaling shapes:
-the streaming endpoint overlaps token decode with vocoder synthesis
-(pipeline.generate_stream's depth-1 prefetch), and the batch endpoint
-decodes up to `batch_size` utterances in lockstep on one chip with
-continuous admission (models/serving.py ContinuousServer) — run one server
-process per chip behind a load balancer.
+runs anywhere the package does.
+
+Concurrency model: when the pipeline exposes raw model params (any real
+Qwen3TTSPipeline), `serve()` starts one always-on TTSService worker
+(service.py) that owns a single lockstep continuous batch — independently
+arriving `/tts` requests from separate connections are admitted into free
+batch slots MID-FLIGHT and each response streams its own audio while other
+requests keep decoding. Nothing holds a global lock for the length of a
+generation; the only cross-request serialization is slot-admission
+bookkeeping inside the worker. Objects without params (test fakes) fall
+back to the legacy one-at-a-time lock path. Run one server process per
+chip behind a load balancer.
 
 Endpoints:
   GET  /health            -> {"status": "ok", "speakers": [...]}
-  POST /tts               -> audio/wav (one-shot)
+  POST /tts               -> audio/wav (one-shot; admitted into the shared
+        continuous batch — concurrent requests decode together)
         body JSON: {"text": str, "speaker": str (optional),
                     "temperature": float (optional),
                     "max_tokens": int (optional), "seed": int (optional)}
@@ -23,8 +29,9 @@ Endpoints:
   POST /tts_many          -> {"wavs": [base64 WAV, ...], "sample_rate": N}
         body JSON: {"texts": [str, ...], "speaker": str | "speakers": [str],
                     "temperature"/"max_tokens"/"seed" as above,
-                    "batch_size": int (default 8)} — served by the lockstep
-        continuous-batching decoder, vocoder batched across streams.
+                    "batch_size": int (default 8)} — one self-batched call
+        through ContinuousServer (kept for bulk jobs; individual clients
+        should just POST /tts concurrently).
 
 Run: python -m qwen3_tts_tpu.server <model-dir> [port]
 """
@@ -58,7 +65,10 @@ def _gen_kwargs(req: dict) -> dict:
     return kwargs
 
 
-def make_handler(pipeline: Qwen3TTSPipeline):
+def make_handler(pipeline: Qwen3TTSPipeline, service=None):
+    """HTTP handler class. With a TTSService, /tts requests (streaming and
+    one-shot) are admitted into its shared continuous batch; without one,
+    they serialize through the legacy global lock."""
     lock = threading.Lock()
 
     class Handler(BaseHTTPRequestHandler):
@@ -98,6 +108,47 @@ def make_handler(pipeline: Qwen3TTSPipeline):
                 return None
             return json.loads(self.rfile.read(n) or b"{}")
 
+        def _tts_service(self, text: str, speaker: str, kwargs: dict,
+                         stream: bool) -> None:
+            """Serve one request through the shared continuous batch: submit
+            returns immediately; the worker decodes this utterance in
+            lockstep with every other in-flight request."""
+            handle = service.submit(text, speaker, **kwargs)
+            if not stream:
+                samples = handle.audio()  # raises on failure -> do_POST maps
+                self._send(
+                    200, wav_data(samples, pipeline.sample_rate), "audio/wav"
+                )
+                return
+            it = handle.chunks()
+            first = next(it)  # raises pre-audio failures -> clean JSON error
+            self.send_response(200)
+            self.send_header("Content-Type", "audio/wav")
+            self.send_header("Transfer-Encoding", "chunked")
+            self.end_headers()
+            try:
+                self._write_chunk(streaming_wav_header(pipeline.sample_rate))
+                chunk = first
+                while True:
+                    if len(chunk.samples):
+                        self._write_chunk(pcm16_bytes(chunk.samples))
+                    if chunk.is_final:
+                        break
+                    chunk = next(it)
+                self.wfile.write(b"0\r\n\r\n")
+            except (BrokenPipeError, ConnectionResetError):
+                handle.cancel()  # free the batch slot; stop decoding
+                self.close_connection = True
+            except Exception:
+                # mid-stream service failure: legally terminate the chunked
+                # body early (truncated audio) — never a second status line
+                handle.cancel()
+                try:
+                    self.wfile.write(b"0\r\n\r\n")
+                except Exception:
+                    pass
+                self.close_connection = True
+
         def _tts(self, req: dict, stream: bool) -> None:
             text = req.get("text", "")
             if not isinstance(text, str) or not text.strip():
@@ -105,6 +156,16 @@ def make_handler(pipeline: Qwen3TTSPipeline):
                 return
             kwargs = _gen_kwargs(req)
             speaker = req.get("speaker", "")
+            if service is not None:
+                try:
+                    self._tts_service(text, speaker, kwargs, stream)
+                    return
+                except ValueError as e:
+                    if "exceeds service buckets" not in str(e):
+                        raise
+                    # prompt too long for the shared batch's fixed buckets:
+                    # fall through to the single-stream path (dynamic
+                    # buckets) rather than rejecting the request
             if not stream:
                 with lock:
                     samples = pipeline.generate(text, speaker, **kwargs)
@@ -228,12 +289,36 @@ def make_handler(pipeline: Qwen3TTSPipeline):
     return Handler
 
 
+def _maybe_service(pipeline, batch_size: int, **service_kwargs):
+    """A TTSService when the pipeline carries raw model params (any real
+    Qwen3TTSPipeline); None for objects without them (test fakes), which
+    keeps the legacy lock path."""
+    needed = ("params", "cp_params", "config", "tokenizer", "vocoder_params")
+    if not all(hasattr(pipeline, a) for a in needed):
+        return None
+    from .service import TTSService
+
+    return TTSService(pipeline, batch_size=batch_size, **service_kwargs)
+
+
 def serve(pipeline: Qwen3TTSPipeline, port: int = 8080,
-          host: str = "127.0.0.1") -> ThreadingHTTPServer:
+          host: str = "127.0.0.1", *, batch_size: int = 8,
+          **service_kwargs) -> ThreadingHTTPServer:
     """Start serving in a background thread; returns the server (call
-    .shutdown() to stop). Binds localhost by default — front it with a real
-    ingress for anything public."""
-    httpd = ThreadingHTTPServer((host, port), make_handler(pipeline))
+    .shutdown() to stop — it also stops the continuous-batching worker).
+    Binds localhost by default — front it with a real ingress for anything
+    public."""
+    service = _maybe_service(pipeline, batch_size, **service_kwargs)
+    httpd = ThreadingHTTPServer((host, port), make_handler(pipeline, service))
+    httpd.tts_service = service
+    _shutdown = httpd.shutdown
+
+    def shutdown():
+        _shutdown()
+        if service is not None:
+            service.close()
+
+    httpd.shutdown = shutdown
     t = threading.Thread(target=httpd.serve_forever, daemon=True)
     t.start()
     return httpd
@@ -245,8 +330,11 @@ def main() -> None:
         raise SystemExit(2)
     port = int(sys.argv[2]) if len(sys.argv) > 2 else 8080
     pipeline = Qwen3TTSPipeline(sys.argv[1])
+    service = _maybe_service(pipeline, batch_size=8)
     print(f"loaded {sys.argv[1]}; serving on http://127.0.0.1:{port}", flush=True)
-    httpd = ThreadingHTTPServer(("127.0.0.1", port), make_handler(pipeline))
+    httpd = ThreadingHTTPServer(
+        ("127.0.0.1", port), make_handler(pipeline, service)
+    )
     httpd.serve_forever()
 
 

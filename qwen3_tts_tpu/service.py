@@ -1,0 +1,459 @@
+"""Always-on continuous-batching TTS service for INDEPENDENTLY arriving
+requests.
+
+`ContinuousServer` (models/serving.py) serves a list of prompts known up
+front; this module turns the same machinery into a long-lived service: one
+background worker owns one running lockstep batch, requests submitted from
+any thread at any time are prefilled behind the in-flight decode chunk and
+admitted into free slots mid-flight (models/serving.py::admit_stream), and
+each request streams its own audio chunks through its own queue while other
+requests keep decoding. The only cross-request serialization is slot
+admission bookkeeping — there is no global "one generation at a time" lock
+(the reference library is strictly one-at-a-time, its pipeline object holds
+one generation, Qwen3TTSPipeline.swift:63-956; this is the TPU-native
+serving surface it lacks).
+
+Scheduling per worker iteration (chunk `it` in flight):
+  1. drain arrivals; place them into free slots — each placement dispatches
+     a B=1 prefill that queues BEHIND the in-flight chunk on the device and
+     schedules a deferred admission (applied when chunk `it` returns)
+  2. when chunk `it`'s state comes back: apply deferred admissions/parks,
+     dispatch chunk `it+1` (depth-1 prefetch — before any host blocking)
+  3. block on chunk `it`'s frames; route per-slot frames to their requests,
+     vocode ready 18-frame windows batched across streams (one fixed
+     [B, nq, left+chunk] jit signature), push audio into request queues
+  4. requests that finish (EOS / max_tokens / cancel) free their slot; a
+     non-EOS finish parks the row on the next boundary so an idle batch
+     stops costing decode work
+
+Greedy outputs per request are bitwise-identical to a fresh single-stream
+run — the same admission-parity invariant ContinuousServer proves, now under
+arbitrary arrival order (tests/test_service.py).
+"""
+
+from __future__ import annotations
+
+import itertools
+import queue
+import threading
+from collections import deque
+from dataclasses import dataclass
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .models import generate as gen_mod
+from .models import prompt as prompt_mod
+from .models import serving as srv
+from .models import vocoder as voc
+from .pipeline import AudioChunk, _clean
+
+
+class ServiceClosed(RuntimeError):
+    """The service was shut down before/while serving this request."""
+
+
+@dataclass
+class _SlotView:
+    """Host-side bookkeeping for one batch slot."""
+
+    req: "TTSRequest | None" = None
+    active_from: int = 0
+
+
+class TTSRequest:
+    """Handle for one submitted utterance: a thread-safe stream of
+    AudioChunks (exactly one chunk has is_final=True; an Exception in the
+    stream aborts it)."""
+
+    def __init__(self, pd, temperature: float, max_tokens: int, seed: int):
+        self.pd = pd
+        self.temperature = float(temperature)
+        self.max_tokens = int(max_tokens)
+        self.seed = int(seed)
+        self._q: queue.Queue = queue.Queue()
+        self._cancel = threading.Event()
+        # worker-private state (single worker thread; no locking needed)
+        self.emitted = 0
+        self.buf: np.ndarray | None = None
+        self.ctx: np.ndarray | None = None
+        self.sent = 0
+
+    def cancel(self) -> None:
+        """Stop generating for this request; the stream terminates with an
+        empty final chunk at the next chunk boundary."""
+        self._cancel.set()
+
+    @property
+    def cancelled(self) -> bool:
+        return self._cancel.is_set()
+
+    def chunks(self):
+        """Iterate audio chunks as they are synthesized (blocking). Raises
+        if the service failed this request."""
+        while True:
+            item = self._q.get()
+            if isinstance(item, Exception):
+                raise item
+            yield item
+            if item.is_final:
+                return
+
+    def audio(self) -> np.ndarray:
+        """Block until completion; the full concatenated waveform."""
+        parts = [c.samples for c in self.chunks() if len(c.samples)]
+        return np.concatenate(parts) if parts else np.zeros(0, np.float32)
+
+    # worker-side helpers -------------------------------------------------
+    def _push(self, item) -> None:
+        self._q.put(item)
+
+
+class TTSService:
+    """A running continuous-batching TTS worker on top of a loaded
+    Qwen3TTSPipeline. Submit from any number of threads; close() to stop.
+
+    One fixed jit signature set: (batch_size, prompt_bucket,
+    trailing_bucket, chunk_steps) are chosen at construction — a request
+    whose prompt exceeds the buckets is rejected at submit()."""
+
+    def __init__(
+        self,
+        pipeline,
+        *,
+        batch_size: int = 8,
+        chunk_steps: int = 18,
+        decode_chunk: int = 18,
+        left_context: int = 8,
+        prompt_bucket: int | None = None,
+        trailing_bucket: int | None = None,
+    ):
+        self.pipeline = pipeline
+        self.batch_size = batch_size
+        self.chunk_steps = chunk_steps
+        self.decode_chunk = decode_chunk
+        self.left_context = left_context
+        self.prompt_bucket = prompt_bucket or gen_mod.PROMPT_BUCKETS[2]
+        self.trailing_bucket = trailing_bucket or gen_mod.TRAILING_BUCKETS[1]
+        self.statics = gen_mod.GenStatics(
+            config=pipeline.config,
+            capacity=self.prompt_bucket + gen_mod.RING_SLACK,
+            chunk_steps=chunk_steps,
+            track_cp_penalty=False,
+        )
+        self._inbox: queue.Queue = queue.Queue()
+        self._stop = threading.Event()
+        self._seq = itertools.count()
+        self._worker = threading.Thread(
+            target=self._run, name="tts-service", daemon=True
+        )
+        self._worker.start()
+
+    # -- public API --------------------------------------------------------
+
+    def submit(
+        self,
+        text: str,
+        speaker: str = "",
+        *,
+        temperature: float | None = None,
+        max_tokens: int | None = None,
+        seed: int | None = None,
+        **prompt_kwargs,
+    ) -> TTSRequest:
+        """Queue one utterance; returns immediately with its chunk stream.
+        prompt_kwargs pass through to assemble_prompt (instruct,
+        speaker_embedding, reference_transcript, reference_audio_codes)."""
+        if self._stop.is_set():
+            raise ServiceClosed("service is shut down")
+        pl = self.pipeline
+        pd = prompt_mod.assemble_prompt(
+            pl.params, pl.config, pl.tokenizer, text, speaker=speaker,
+            **prompt_kwargs,
+        )
+        if pd is None:
+            # too-short text: the reference returns no audio rather than an
+            # error (Qwen3Talker.swift:348-352; pipeline._generate_codes
+            # mirrors it) — complete immediately with an empty stream
+            req = TTSRequest(None, temperature=0.0, max_tokens=0, seed=0)
+            req._push(
+                AudioChunk(
+                    samples=np.zeros(0, np.float32),
+                    token_range=(0, 0),
+                    is_final=True,
+                )
+            )
+            return req
+        p = int(pd.input_embeds.shape[1])
+        t = int(pd.trailing_hidden.shape[1])
+        if p > self.prompt_bucket or t > self.trailing_bucket:
+            raise ValueError(
+                f"prompt ({p} embeds / {t} trailing) exceeds service buckets "
+                f"({self.prompt_bucket}/{self.trailing_bucket}); shorten the "
+                "text or run a service with larger buckets"
+            )
+        n = next(self._seq)
+        req = TTSRequest(
+            pd,
+            temperature=(
+                temperature
+                if temperature is not None
+                else pl.pipeline_config.default_temperature
+            ),
+            max_tokens=max_tokens or pl.pipeline_config.default_max_tokens,
+            seed=seed if seed is not None else n,
+        )
+        self._inbox.put(req)
+        return req
+
+    def close(self, timeout: float = 30.0) -> None:
+        """Stop the worker; in-flight and queued requests get ServiceClosed."""
+        self._stop.set()
+        self._worker.join(timeout=timeout)
+
+    # -- worker -------------------------------------------------------------
+
+    def _prefill(self, req: TTSRequest) -> dict:
+        pd = req.pd
+        p = int(pd.input_embeds.shape[1])
+        t = int(pd.trailing_hidden.shape[1])
+        dtype = pd.input_embeds.dtype
+        h = pd.input_embeds.shape[2]
+        e = jnp.zeros((1, self.prompt_bucket, h), dtype)
+        e = e.at[:, :p].set(pd.input_embeds)
+        tr = jnp.zeros((1, self.trailing_bucket, h), dtype)
+        tr = tr.at[:, :t].set(pd.trailing_hidden)
+        return srv.prefill_batched(
+            self.pipeline.params, e, jnp.full((1,), p, jnp.int32), tr,
+            jnp.full((1,), t, jnp.int32), pd.tts_pad_embed,
+            jax.vmap(jax.random.PRNGKey)(jnp.asarray([req.seed])),
+            self.statics,
+        )
+
+    def _run(self) -> None:
+        pl = self.pipeline
+        b = self.batch_size
+        dec_cfg = pl.speech_config.decoder_config
+        ng = pl.config.code_predictor_config.num_code_groups
+        spf = dec_cfg.total_upsample
+        width = self.left_context + self.decode_chunk
+
+        slots = [_SlotView() for _ in range(b)]
+        backlog: deque[TTSRequest] = deque()
+        temps = np.full((b,), 1.0, np.float32)
+        state = None
+        pending = None  # lazy (frames, counts, eos, state) of chunk `it`
+        # deferred boundary ops, FIFO: ("admit", slot, fresh) | ("park", slot)
+        ops: list[tuple] = []
+        it = 0
+
+        def apply_ops(state):
+            for op in ops:
+                if op[0] == "admit":
+                    state = srv.admit_stream(
+                        state, jnp.int32(op[1]), op[2], self.statics
+                    )
+                else:
+                    state = srv.park_slot(state, jnp.int32(op[1]))
+            ops.clear()
+            return state
+
+        def occupied() -> bool:
+            return any(s.req is not None for s in slots)
+
+        def finish(req: TTSRequest, *, error: Exception | None = None):
+            if error is not None:
+                req._push(error)
+                return
+            t0 = req.sent
+            req._push(
+                AudioChunk(
+                    samples=np.zeros(0, np.float32),
+                    token_range=(t0, t0),
+                    is_final=True,
+                )
+            )
+
+        def mk_row(req: TTSRequest, frames: np.ndarray, final: bool):
+            """Fixed-width vocoder row (zero end-padding is transparent: the
+            vocoder is causal end to end — same scheme as
+            serving.py::serve_audio)."""
+            ctx = req.ctx
+            drop = 0 if ctx is None else len(ctx)
+            row = np.zeros((width, ng), np.int32)
+            if drop:
+                row[:drop] = ctx
+            row[drop: drop + len(frames)] = frames
+            joined = (
+                np.concatenate([ctx, frames]) if ctx is not None else frames
+            )
+            req.ctx = joined[-self.left_context:]
+            start = req.sent
+            req.sent = start + len(frames)
+            return (req, row, drop, len(frames), (start, req.sent), final)
+
+        try:
+            while True:
+                if self._stop.is_set():
+                    raise ServiceClosed("service is shut down")
+
+                # 1. arrivals -> backlog -> free slots
+                idle = pending is None and not occupied() and not backlog
+                try:
+                    backlog.append(
+                        self._inbox.get(timeout=0.2)
+                        if idle
+                        else self._inbox.get_nowait()
+                    )
+                except queue.Empty:
+                    if idle:
+                        continue
+                while True:
+                    try:
+                        backlog.append(self._inbox.get_nowait())
+                    except queue.Empty:
+                        break
+
+                bootstrap: dict[int, dict] = {}
+                for slot in range(b):
+                    if not backlog:
+                        break
+                    if slots[slot].req is not None:
+                        continue
+                    req = backlog.popleft()
+                    if req.cancelled:
+                        finish(req)
+                        continue
+                    fresh = self._prefill(req)  # queues behind the chunk
+                    temps[slot] = req.temperature
+                    slots[slot].req = req
+                    if state is None:
+                        bootstrap[slot] = fresh
+                        slots[slot].active_from = 0
+                    elif pending is None:
+                        ops.append(("admit", slot, fresh))
+                        slots[slot].active_from = it
+                    else:
+                        ops.append(("admit", slot, fresh))
+                        slots[slot].active_from = it + 1
+                if bootstrap:
+                    ref = next(iter(bootstrap.values()))
+                    state = srv.concat_states([
+                        bootstrap.get(i) or srv.parked_state(ref)
+                        for i in range(b)
+                    ])
+
+                if state is None:
+                    continue
+
+                # 2. no chunk in flight: apply ops, dispatch, loop (arrivals
+                # can land while the chunk computes)
+                if pending is None:
+                    state = apply_ops(state)
+                    if occupied():
+                        pending = srv.decode_chunk_serving(
+                            pl.params, pl.cp_params, state,
+                            jnp.asarray(temps), self.statics,
+                        )
+                    continue
+
+                # 3. boundary: chunk `it` state back, admit, prefetch `it+1`
+                frames_d, _counts, eos_d, state = pending
+                state = apply_ops(state)
+                pending = (
+                    srv.decode_chunk_serving(
+                        pl.params, pl.cp_params, state,
+                        jnp.asarray(temps), self.statics,
+                    )
+                    if occupied()
+                    else None
+                )
+
+                # 4. route chunk `it`'s frames; vocode; emit
+                frames_np = np.asarray(frames_d)
+                eos_np = np.asarray(eos_d)
+                rows = []
+                for slot in range(b):
+                    sv = slots[slot]
+                    req = sv.req
+                    if req is None or it < sv.active_from:
+                        continue
+                    if req.cancelled:
+                        finish(req)
+                        sv.req = None
+                        ops.append(("park", slot))
+                        continue
+                    valid = frames_np[slot][frames_np[slot][:, 0] >= 0]
+                    take = min(len(valid), req.max_tokens - req.emitted)
+                    valid = gen_mod.filter_valid_frames(valid[:take])
+                    req.emitted += take
+                    done = bool(eos_np[slot]) or req.emitted >= req.max_tokens
+                    buf = req.buf
+                    buf = (
+                        np.concatenate([buf, valid])
+                        if buf is not None and len(buf)
+                        else valid
+                    )
+                    while len(buf) >= self.decode_chunk:
+                        rows.append(mk_row(req, buf[: self.decode_chunk], False))
+                        buf = buf[self.decode_chunk:]
+                    req.buf = buf
+                    if done:
+                        if len(buf):
+                            rows.append(mk_row(req, buf, True))
+                            req.buf = None
+                        else:
+                            rows.append((req, None, 0, 0, None, True))
+                        sv.req = None
+                        if not bool(eos_np[slot]):
+                            ops.append(("park", slot))
+
+                real_rows = [r for r in rows if r[1] is not None]
+                empty_finals = [r[0] for r in rows if r[1] is None]
+                # batched vocode, fixed [B, nq, width] signature; >B ready
+                # rows (bursts) just take extra calls
+                for g0 in range(0, len(real_rows), b):
+                    group = real_rows[g0: g0 + b]
+                    batch = np.zeros((b, ng, width), np.int32)
+                    for i, (_req, row, _d, _m, _tr, _f) in enumerate(group):
+                        batch[i] = row.T
+                    wav = np.asarray(
+                        voc.decode_frames_jit(
+                            pl.vocoder_params, jnp.asarray(batch), dec_cfg
+                        )
+                    )
+                    for i, (req, _row, drop, m, t_range, final) in enumerate(
+                        group
+                    ):
+                        samples = wav[i, drop * spf: (drop + m) * spf]
+                        req._push(
+                            AudioChunk(
+                                samples=_clean(samples),
+                                token_range=t_range,
+                                is_final=final,
+                            )
+                        )
+                for req in empty_finals:
+                    finish(req)
+                it += 1
+        except Exception as e:  # propagate to every waiting consumer
+            err = e if isinstance(e, ServiceClosed) else ServiceClosed(
+                f"service worker died: {type(e).__name__}: {e}"
+            )
+            if not isinstance(e, ServiceClosed):
+                import traceback
+
+                traceback.print_exc()
+            for sv in slots:
+                if sv.req is not None:
+                    sv.req._push(err)
+                    sv.req = None
+            for req in backlog:
+                req._push(err)
+            while True:
+                try:
+                    self._inbox.get_nowait()._push(err)
+                except queue.Empty:
+                    break
+            self._stop.set()

@@ -96,6 +96,127 @@ def test_http_server_round_trip(tmp_path):
         httpd.shutdown()
 
 
+@pytest.mark.slow
+def test_concurrent_streams_share_one_batch(tmp_path):
+    """N clients hit one server AT THE SAME TIME from separate connections;
+    each must get back exactly the audio of its own canonical single-stream
+    greedy run — served by the shared continuous batch (the old design
+    serialized whole generations behind a global lock; VERDICT r3 item 2)."""
+    import threading
+
+    import jax.numpy as jnp2
+
+    from qwen3_tts_tpu.io.wav import _pcm16
+    from qwen3_tts_tpu.models import generate as G
+    from qwen3_tts_tpu.models import prompt as P
+    from qwen3_tts_tpu.models import vocoder as voc
+
+    d = str(tmp_path / "m")
+    write_tiny_model_dir(d)
+    pipeline = Qwen3TTSPipeline(d, dtype=jnp.float32)
+    DC, CTX = 6, 3
+    httpd = serve(
+        pipeline, port=0, batch_size=2, chunk_steps=5,
+        decode_chunk=DC, left_context=CTX, trailing_bucket=128,
+    )
+    assert httpd.tts_service is not None  # real pipeline -> continuous mode
+    port = httpd.server_address[1]
+    speaker = pipeline.available_speakers[0]
+    texts = [
+        "Concurrent stream one, served in lockstep.",
+        "The second independent connection arrives together.",
+        "A third request waits for a slot, then decodes.",
+    ]
+
+    def expected_pcm(text: str, max_tokens: int) -> np.ndarray:
+        """Greedy codes -> canonical buffer-and-batch stream decode (the
+        semantics test_serving_audio proves) -> 16-bit PCM as sent."""
+        pd = P.assemble_prompt(
+            pipeline.params, pipeline.config, pipeline.tokenizer, text,
+            speaker=speaker,
+        )
+        frames = G.filter_valid_frames(
+            G.generate_codes(
+                pipeline.params, pipeline.cp_params, pipeline.config, pd,
+                temperature=0.0, max_tokens=max_tokens, chunk_steps=5,
+                track_cp_penalty=False,
+            )
+        )
+        dec = pipeline.speech_config.decoder_config
+        spf = dec.total_upsample
+        out, ctx, pos = [], None, 0
+        while pos < len(frames):
+            batch = frames[pos: pos + DC]
+            pos += len(batch)
+            inp = np.concatenate([ctx, batch]) if ctx is not None else batch
+            drop = (len(inp) - len(batch)) * spf
+            wav = np.asarray(
+                voc.decode_frames_jit(
+                    pipeline.vocoder_params, jnp2.asarray(inp.T[None]), dec
+                )
+            )[0]
+            out.append(wav[drop:])
+            ctx = inp[-CTX:]
+        full = np.concatenate(out) if out else np.zeros(0, np.float32)
+        return _pcm16(np.clip(np.where(np.isfinite(full), full, 0.0), -1, 1))
+
+    results: dict[int, bytes] = {}
+    errors: list = []
+
+    def client(i: int, stream: bool):
+        try:
+            conn = http.client.HTTPConnection("127.0.0.1", port, timeout=600)
+            path = "/tts?stream=1" if stream else "/tts"
+            conn.request(
+                "POST", path,
+                body=json.dumps({"text": texts[i], "speaker": speaker,
+                                 "temperature": 0.0, "max_tokens": 10}),
+                headers={"Content-Type": "application/json"},
+            )
+            r = conn.getresponse()
+            assert r.status == 200, r.read()
+            results[i] = r.read()
+            conn.close()
+        except Exception as e:
+            errors.append((i, e))
+
+    try:
+        # 3 streaming clients at once through 2 slots (forces a backlog wait)
+        threads = [
+            threading.Thread(target=client, args=(i, True)) for i in range(3)
+        ]
+        for t in threads:
+            t.start()
+        for t in threads:
+            t.join(timeout=600)
+        assert not errors, errors
+        for i, text in enumerate(texts):
+            got = np.frombuffer(
+                results[i][len(streaming_wav_header(24000)):], "<i2"
+            )
+            np.testing.assert_array_equal(
+                got, expected_pcm(text, 10), err_msg=text
+            )
+
+        # concurrent ONE-SHOT requests ride the same batch
+        results.clear()
+        threads = [
+            threading.Thread(target=client, args=(i, False)) for i in range(2)
+        ]
+        for t in threads:
+            t.start()
+        for t in threads:
+            t.join(timeout=600)
+        assert not errors, errors
+        for i in range(2):
+            got = np.frombuffer(results[i][44:], "<i2")  # one-shot WAV header
+            np.testing.assert_array_equal(
+                got, expected_pcm(texts[i], 10), err_msg=texts[i]
+            )
+    finally:
+        httpd.shutdown()
+
+
 class _FakePipeline:
     """Just enough surface for make_handler: streaming tests don't need a
     real model, so the error paths run in the smoke tier."""

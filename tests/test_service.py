@@ -1,0 +1,229 @@
+"""TTSService tests: independently arriving requests served by one always-on
+continuous-batching worker (qwen3_tts_tpu/service.py).
+
+The service invariant extends ContinuousServer's: every request's audio must
+equal the canonical single-stream buffer-and-batch decode of its own greedy
+code stream (reference consumer semantics Qwen3TTSPipeline.swift:484-624) —
+now under ARBITRARY arrival order: concurrent submitters, staggered arrivals
+into a running batch, arrivals into an idle (parked) batch, cancellation, and
+per-request temperatures in the same lockstep chunk.
+"""
+
+import threading
+import time
+from types import SimpleNamespace
+
+import jax
+import numpy as np
+import pytest
+
+from qwen3_tts_tpu.models import generate as G
+from qwen3_tts_tpu.models import prompt as P
+from qwen3_tts_tpu.models import vocoder as voc
+from qwen3_tts_tpu.service import ServiceClosed, TTSService
+from qwen3_tts_tpu.testing import FakeByteTokenizer, tiny_decoder_config, tiny_models
+
+pytestmark = pytest.mark.slow
+
+TEXTS = [
+    "Independent request number one arrives first.",
+    "A second request shows up while the first is decoding.",
+    "Third request lands after a pause, batch already running.",
+    "Fourth request fills the last open slot in the batch.",
+    "Fifth request has to wait for a slot to free up.",
+]
+DC, CTX = 6, 3  # decode chunk / left context small enough to cross chunks
+
+
+@pytest.fixture(scope="module")
+def tiny_pipeline():
+    cfg, params, cp_params = tiny_models()
+    dec = tiny_decoder_config(codebook_size=cfg.code_predictor_config.vocab_size)
+    vparams = voc.init_vocoder_params(dec, jax.random.PRNGKey(7))
+    return SimpleNamespace(
+        config=cfg,
+        params=params,
+        cp_params=cp_params,
+        tokenizer=FakeByteTokenizer(),
+        speech_config=SimpleNamespace(decoder_config=dec),
+        vocoder_params=vparams,
+        pipeline_config=SimpleNamespace(
+            default_temperature=0.0, default_max_tokens=12
+        ),
+    )
+
+
+def _expected_audio(pl, text: str, max_tokens: int) -> np.ndarray:
+    """Canonical single-stream greedy codes -> variable-shape streaming
+    decode with re-decoded left context (same scheme test_serving_audio
+    proves for serve_audio)."""
+    import jax.numpy as jnp
+
+    pd = P.assemble_prompt(pl.params, pl.config, pl.tokenizer, text, speaker="aiden")
+    frames = G.filter_valid_frames(
+        G.generate_codes(
+            pl.params, pl.cp_params, pl.config, pd, temperature=0.0,
+            max_tokens=max_tokens, chunk_steps=5, track_cp_penalty=False,
+        )
+    )
+    dec = pl.speech_config.decoder_config
+    spf = dec.total_upsample
+    out, ctx, pos = [], None, 0
+    while pos < len(frames):
+        batch = frames[pos: pos + DC]
+        pos += len(batch)
+        inp = np.concatenate([ctx, batch]) if ctx is not None else batch
+        drop = (len(inp) - len(batch)) * spf
+        wav = np.asarray(
+            voc.decode_frames_jit(pl.vocoder_params, jnp.asarray(inp.T[None]), dec)
+        )[0]
+        out.append(wav[drop:])
+        ctx = inp[-CTX:]
+    return np.concatenate(out) if out else np.zeros(0, np.float32)
+
+
+def _mk_service(pl, batch_size=2) -> TTSService:
+    return TTSService(
+        pl, batch_size=batch_size, chunk_steps=5,
+        decode_chunk=DC, left_context=CTX, trailing_bucket=128,
+    )
+
+
+def _collect(req):
+    chunks = list(req.chunks())
+    assert sum(c.is_final for c in chunks) == 1
+    assert chunks[-1].is_final
+    parts = [c.samples for c in chunks if len(c.samples)]
+    audio = np.concatenate(parts) if parts else np.zeros(0, np.float32)
+    spans = [c.token_range for c in chunks if c.token_range[1] > c.token_range[0]]
+    # token ranges tile [0, n) contiguously
+    assert [s for s, _ in spans] == [0] + [e for _, e in spans][:-1]
+    return audio, chunks
+
+
+def test_staggered_arrivals_greedy_parity(tiny_pipeline):
+    """5 requests arrive over time into a 2-slot batch (forces waiting in the
+    backlog AND mid-flight admission); each stream must equal its canonical
+    single-stream decode bit for bit."""
+    pl = tiny_pipeline
+    service = _mk_service(pl, batch_size=2)
+    try:
+        reqs = []
+        for i, text in enumerate(TEXTS):
+            reqs.append(service.submit(text, "aiden", temperature=0.0, max_tokens=12))
+            time.sleep(0.05 if i % 2 else 0.0)  # stagger some arrivals
+        for text, req in zip(TEXTS, reqs):
+            audio, _ = _collect(req)
+            expected = _expected_audio(pl, text, max_tokens=12)
+            assert len(audio) == len(expected), text
+            np.testing.assert_allclose(audio, expected, rtol=1e-4, atol=1e-5,
+                                       err_msg=text)
+    finally:
+        service.close()
+
+
+def test_concurrent_submitters_and_idle_reuse(tiny_pipeline):
+    """Requests submitted from N threads at once, then — after the batch goes
+    fully idle (parked slots) — a late request must still be served."""
+    pl = tiny_pipeline
+    service = _mk_service(pl, batch_size=2)
+    try:
+        results: dict[int, np.ndarray] = {}
+        errors: list[Exception] = []
+
+        def client(i: int):
+            try:
+                req = service.submit(TEXTS[i], "aiden", temperature=0.0,
+                                     max_tokens=10)
+                results[i] = req.audio()
+            except Exception as e:  # surface in main thread
+                errors.append(e)
+
+        threads = [threading.Thread(target=client, args=(i,)) for i in range(3)]
+        for t in threads:
+            t.start()
+        for t in threads:
+            t.join(timeout=300)
+        assert not errors, errors
+        for i in range(3):
+            np.testing.assert_allclose(
+                results[i], _expected_audio(pl, TEXTS[i], max_tokens=10),
+                rtol=1e-4, atol=1e-5, err_msg=TEXTS[i],
+            )
+
+        # batch is now idle (all slots parked); a late arrival must be served
+        late = service.submit(TEXTS[3], "aiden", temperature=0.0, max_tokens=10)
+        np.testing.assert_allclose(
+            late.audio(), _expected_audio(pl, TEXTS[3], max_tokens=10),
+            rtol=1e-4, atol=1e-5,
+        )
+    finally:
+        service.close()
+
+
+def test_per_request_temperature(tiny_pipeline):
+    """A sampled request and a greedy request share one lockstep batch; the
+    greedy stream must STILL match its single-stream run exactly (per-stream
+    temperature vector, serving.py::decode_chunk_serving)."""
+    pl = tiny_pipeline
+    service = _mk_service(pl, batch_size=2)
+    try:
+        sampled = service.submit(TEXTS[0], "aiden", temperature=0.9,
+                                 max_tokens=10, seed=3)
+        greedy = service.submit(TEXTS[1], "aiden", temperature=0.0,
+                                max_tokens=10)
+        s_audio = sampled.audio()
+        g_audio, _ = _collect(greedy)
+        assert np.all(np.isfinite(s_audio)) and np.all(np.abs(s_audio) <= 1.0)
+        np.testing.assert_allclose(
+            g_audio, _expected_audio(pl, TEXTS[1], max_tokens=10),
+            rtol=1e-4, atol=1e-5,
+        )
+    finally:
+        service.close()
+
+
+def test_cancel_terminates_stream(tiny_pipeline):
+    pl = tiny_pipeline
+    service = _mk_service(pl, batch_size=2)
+    try:
+        req = service.submit(TEXTS[0], "aiden", temperature=0.0, max_tokens=64)
+        req.cancel()
+        chunks = list(req.chunks())  # must terminate, not hang
+        assert chunks[-1].is_final
+        # a cancelled slot must be reusable
+        nxt = service.submit(TEXTS[1], "aiden", temperature=0.0, max_tokens=8)
+        np.testing.assert_allclose(
+            nxt.audio(), _expected_audio(pl, TEXTS[1], max_tokens=8),
+            rtol=1e-4, atol=1e-5,
+        )
+    finally:
+        service.close()
+
+
+def test_close_fails_pending_requests(tiny_pipeline):
+    pl = tiny_pipeline
+    service = _mk_service(pl, batch_size=2)
+    req = service.submit(TEXTS[0], "aiden", temperature=0.0, max_tokens=400)
+    service.close()
+    # in-flight request must terminate promptly: either ServiceClosed (worker
+    # saw the stop first) or a completed stream (it finished just before) —
+    # never a hang
+    try:
+        chunks = list(req.chunks())
+        assert chunks[-1].is_final
+    except ServiceClosed:
+        pass
+    with pytest.raises(ServiceClosed):
+        service.submit(TEXTS[1], "aiden")
+
+
+def test_submit_rejects_oversized_prompt(tiny_pipeline):
+    pl = tiny_pipeline
+    service = TTSService(pl, batch_size=2, chunk_steps=5, prompt_bucket=64,
+                         trailing_bucket=32, decode_chunk=DC, left_context=CTX)
+    try:
+        with pytest.raises(ValueError, match="exceeds service buckets"):
+            service.submit("word " * 500, "aiden")
+    finally:
+        service.close()
