@@ -14,10 +14,14 @@ Golden files are produced with --write-golden on a trusted run (or assembled
 from reference-produced token streams: the reference CLI's greedy codes slot
 into the "frames" field directly, reference Qwen3Talker.swift:580-630).
 
-Determinism notes: reports are meant to be produced and compared on the CPU
-backend in float32 (tests/conftest.py forcing) — greedy token streams are
-exact there; checksums compare under rtol. TPU bf16 runs of the same
-checkpoint are validated by token match only.
+Determinism notes: reports are meant to be produced on the CPU backend in
+float32 (tests/conftest.py forcing) — greedy token streams are exact there
+and checksums compare at the tight `cpu-fp32` tier. The same golden also
+validates a TPU/bf16/production run (runtime quantization + Pallas kernels,
+`collect_report(production=True)`) at the looser `tpu-bf16` tier: per-stage
+checksums — including the vocoder WAVEFORM — compare under bf16-scale
+tolerances instead of being skipped (VERDICT r3 item 7); see
+TOLERANCE_TIERS for why token equality is a cpu-fp32-tier-only check.
 """
 
 from __future__ import annotations
@@ -30,6 +34,30 @@ GOLDEN_TEXT = "The golden parity sentence exercises every module once."
 GOLDEN_SPEAKER = "aiden"
 GOLDEN_MAX_TOKENS = 12
 GOLDEN_SEED = 0
+
+# Per-tier comparison policy. cpu-fp32: the golden's native mode — frames
+# exact, checksums tight. tpu-bf16 (validating a bf16 + int8-quantized +
+# kernel run against a fp32 golden): checksums — including the vocoder
+# WAVEFORM — compare at bf16-scale tolerances; greedy frames are NOT
+# compared, measured, not assumed: on the synthetic tiny checkpoint legit
+# bf16+quant drift flips 92% of code0 tokens (near-zero argmax margins on
+# random weights) while a corrupted checkpoint (codec_head scales x1.5) is
+# still caught decisively by the prefill_logits checksum (50% std drift vs
+# the 4% band). Token parity across frameworks is the cpu-fp32 tier's job.
+# atol floors the near-zero MEAN stat of zero-centered activations, where
+# relative error is meaningless.
+TOLERANCE_TIERS: dict[str, dict] = {
+    "cpu-fp32": {
+        "rtol": {"default": 1e-4},
+        "atol": 1e-6,
+        "compare_frames": True,
+    },
+    "tpu-bf16": {
+        "rtol": {"default": 3e-2, "wav": 6e-2, "prefill_logits": 4e-2},
+        "atol": 5e-3,
+        "compare_frames": False,
+    },
+}
 
 
 def _stat(arr) -> list[float]:
@@ -46,10 +74,16 @@ def collect_report(
     speaker: str = GOLDEN_SPEAKER,
     max_tokens: int = GOLDEN_MAX_TOKENS,
     seed: int = GOLDEN_SEED,
+    production: bool = False,
 ) -> dict:
-    """Load `model_dir` through the pipeline (full-precision jnp paths: no
-    runtime quantization, no Pallas kernels) and record greedy frames plus
-    per-stage checksums [mean, std, absmax]."""
+    """Load `model_dir` through the pipeline and record greedy frames plus
+    per-stage checksums [mean, std, absmax].
+
+    Default: full-precision jnp paths (no runtime quantization, no Pallas
+    kernels, float32) — the exact mode goldens are written in. With
+    `production=True`: the pipeline's DEFAULT configuration (runtime int8
+    quantization + kernels) in bfloat16 — what actually serves on the TPU —
+    for comparison against a fp32 golden at the `tpu-bf16` tier."""
     import jax
     import jax.numpy as jnp
 
@@ -57,13 +91,17 @@ def collect_report(
     from ..models import prompt as prompt_mod
     from ..pipeline import Qwen3TTSPipeline, Qwen3TTSPipelineConfiguration
 
-    cfgn = Qwen3TTSPipelineConfiguration(
-        apply_runtime_quantization=False,
-        use_cp_megakernel=False,
-        use_talker_megakernel=False,
-        use_vocoder_kernels=False,
-    )
-    pl = Qwen3TTSPipeline(model_dir, cfgn, dtype=jnp.float32)
+    if production:
+        cfgn = Qwen3TTSPipelineConfiguration()
+        pl = Qwen3TTSPipeline(model_dir, cfgn, dtype=jnp.bfloat16)
+    else:
+        cfgn = Qwen3TTSPipelineConfiguration(
+            apply_runtime_quantization=False,
+            use_cp_megakernel=False,
+            use_talker_megakernel=False,
+            use_vocoder_kernels=False,
+        )
+        pl = Qwen3TTSPipeline(model_dir, cfgn, dtype=jnp.float32)
     checks: dict[str, list[float]] = {}
 
     pd = prompt_mod.assemble_prompt(
@@ -80,8 +118,9 @@ def collect_report(
     pb = gen_mod.pick_bucket(p)
     tb = gen_mod.pick_bucket(t, gen_mod.TRAILING_BUCKETS)
     h = pl.config.hidden_size
-    e = jnp.zeros((1, pb, h), jnp.float32).at[:, :p].set(pd.input_embeds)
-    tr = jnp.zeros((1, tb, h), jnp.float32).at[:, :t].set(pd.trailing_hidden)
+    dt = pd.input_embeds.dtype  # fp32 exact mode / bf16 production mode
+    e = jnp.zeros((1, pb, h), dt).at[:, :p].set(pd.input_embeds)
+    tr = jnp.zeros((1, tb, h), dt).at[:, :t].set(pd.trailing_hidden)
     statics = gen_mod.GenStatics(
         config=pl.config, capacity=pb + gen_mod.RING_SLACK,
         chunk_steps=8, track_cp_penalty=True,
@@ -129,16 +168,28 @@ def collect_report(
     return report
 
 
-def compare_reports(got: dict, golden: dict, rtol: float = 1e-4) -> list[str]:
-    """Return mismatch messages (empty list = PASS). Frames compare exactly;
-    checksums under rtol (+1e-6 atol)."""
+def compare_reports(
+    got: dict,
+    golden: dict,
+    rtol: float | None = None,
+    tier: str = "cpu-fp32",
+) -> list[str]:
+    """Return mismatch messages (empty list = PASS) under the tier's policy
+    (TOLERANCE_TIERS): cpu-fp32 compares frames exactly and checksums
+    tightly; tpu-bf16 validates a bf16/quantized/kernel run of the same
+    checkpoint against a CPU-fp32 golden by checksums only — including the
+    vocoder waveform. An explicit `rtol` overrides the tier table for every
+    checksum."""
+    policy = TOLERANCE_TIERS[tier]
+    tols = policy["rtol"]
+    atol = policy["atol"]
     errs: list[str] = []
     for key in ("text", "speaker", "max_tokens", "seed"):
         if key in golden and got.get(key) != golden[key]:
             errs.append(
                 f"setting {key!r}: got {got.get(key)!r} != golden {golden[key]!r}"
             )
-    if "frames" in golden:
+    if "frames" in golden and policy["compare_frames"]:
         gf, wf = got.get("frames", []), golden["frames"]
         if gf != wf:
             n = min(len(gf), len(wf))
@@ -149,17 +200,22 @@ def compare_reports(got: dict, golden: dict, rtol: float = 1e-4) -> list[str]:
                 f"frames mismatch: {len(gf)} vs {len(wf)} frames, first "
                 f"difference at frame {first}"
             )
-    if "ref_codes_row0" in golden and got.get("ref_codes_row0") != golden[
-        "ref_codes_row0"
-    ]:
+    if (
+        policy["compare_frames"]
+        and "ref_codes_row0" in golden
+        and got.get("ref_codes_row0") != golden["ref_codes_row0"]
+    ):
         errs.append("reference-audio semantic codes (row 0) mismatch")
     for name, want in golden.get("checksums", {}).items():
         have = got.get("checksums", {}).get(name)
         if have is None:
             errs.append(f"checksum {name!r} missing from report")
             continue
-        if not np.allclose(have, want, rtol=rtol, atol=1e-6):
-            errs.append(f"checksum {name!r}: {have} != golden {want}")
+        tol = rtol if rtol is not None else tols.get(name, tols["default"])
+        if not np.allclose(have, want, rtol=tol, atol=atol):
+            errs.append(
+                f"checksum {name!r}: {have} != golden {want} (rtol={tol:g})"
+            )
     return errs
 
 

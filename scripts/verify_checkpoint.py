@@ -17,7 +17,13 @@ same text/speaker — reference Qwen3Talker.swift:580-630 prints them under
 DUPER_DEBUG_GENERATION=1); token-stream equality is the cross-framework
 parity criterion (SURVEY.md §6).
 
-Runs on the CPU backend in float32 (exact greedy determinism).
+Default mode runs on the CPU backend in float32 (exact greedy determinism).
+`--production --backend default --tier tpu-bf16` instead validates the
+PRODUCTION path (bf16, runtime int8 quantization, Pallas kernels) on the
+ambient backend (the TPU chip) against the same fp32 golden: per-stage
+checksums — including the vocoder waveform — compare at bf16-scale
+tolerances (token equality is a cpu-fp32-tier check; see
+io/verify.py TOLERANCE_TIERS for the measured rationale).
 """
 
 import argparse
@@ -27,28 +33,46 @@ import sys
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
+ap = argparse.ArgumentParser(description=__doc__)
+ap.add_argument("model_dir")
+ap.add_argument("--golden", help="golden JSON to compare against")
+ap.add_argument("--write-golden", help="write the report as a new golden")
+ap.add_argument("--text", default=None)
+ap.add_argument("--speaker", default=None)
+ap.add_argument("--max-tokens", type=int, default=None)
+ap.add_argument("--seed", type=int, default=None)
+ap.add_argument("--rtol", type=float, default=None,
+                help="override the tier's per-checksum tolerances")
+ap.add_argument("--tier", default="cpu-fp32",
+                choices=("cpu-fp32", "tpu-bf16"))
+ap.add_argument("--production", action="store_true",
+                help="bf16 + runtime quantization + kernels (the serving "
+                     "path) instead of the exact fp32 jnp path")
+ap.add_argument("--backend", default="cpu", choices=("cpu", "default"),
+                help="'cpu' forces the CPU backend (exact); 'default' keeps "
+                     "the ambient backend (TPU when available)")
+args = ap.parse_args()
+
 import jax
 
-jax.config.update("jax_platforms", "cpu")
+if args.backend == "cpu":
+    jax.config.update("jax_platforms", "cpu")
 
 from qwen3_tts_tpu.io import verify
 
 
 def main() -> int:
-    ap = argparse.ArgumentParser(description=__doc__)
-    ap.add_argument("model_dir")
-    ap.add_argument("--golden", help="golden JSON to compare against")
-    ap.add_argument("--write-golden", help="write the report as a new golden")
-    ap.add_argument("--text", default=verify.GOLDEN_TEXT)
-    ap.add_argument("--speaker", default=verify.GOLDEN_SPEAKER)
-    ap.add_argument("--max-tokens", type=int, default=verify.GOLDEN_MAX_TOKENS)
-    ap.add_argument("--seed", type=int, default=verify.GOLDEN_SEED)
-    ap.add_argument("--rtol", type=float, default=1e-4)
-    args = ap.parse_args()
-
     kwargs = dict(
-        text=args.text, speaker=args.speaker,
-        max_tokens=args.max_tokens, seed=args.seed,
+        text=args.text if args.text is not None else verify.GOLDEN_TEXT,
+        speaker=(
+            args.speaker if args.speaker is not None else verify.GOLDEN_SPEAKER
+        ),
+        max_tokens=(
+            args.max_tokens
+            if args.max_tokens is not None
+            else verify.GOLDEN_MAX_TOKENS
+        ),
+        seed=args.seed if args.seed is not None else verify.GOLDEN_SEED,
     )
     if args.golden:
         golden = verify.load_golden(args.golden)
@@ -59,21 +83,32 @@ def main() -> int:
             max_tokens=golden.get("max_tokens", args.max_tokens),
             seed=golden.get("seed", args.seed),
         )
-    report = verify.collect_report(args.model_dir, **kwargs)
+    report = verify.collect_report(
+        args.model_dir, production=args.production, **kwargs
+    )
 
     if args.write_golden:
         verify.save_golden(report, args.write_golden)
         print(f"golden written: {args.write_golden}")
         return 0
     if args.golden:
-        errs = verify.compare_reports(report, golden, rtol=args.rtol)
+        errs = verify.compare_reports(
+            report, golden, rtol=args.rtol, tier=args.tier
+        )
         if errs:
-            print("FAIL")
+            print(f"FAIL ({args.tier} tier)")
             for e in errs:
                 print(f"  - {e}")
             return 1
+        from qwen3_tts_tpu.io.verify import TOLERANCE_TIERS
+
+        frames_note = (
+            f"{len(report['frames'])} greedy frames and "
+            if TOLERANCE_TIERS[args.tier]["compare_frames"]
+            else ""
+        )
         print(
-            f"PASS: {len(report['frames'])} greedy frames and "
+            f"PASS ({args.tier} tier): {frames_note}"
             f"{len(report['checksums'])} checksums match {args.golden}"
         )
         return 0

@@ -94,6 +94,39 @@ def test_verify_matches_committed_golden(golden_dir):
     assert len(report["frames"]) > 0
 
 
+def test_production_run_passes_bf16_tier(golden_dir):
+    """The PRODUCTION configuration (bf16 + runtime int8 quantization; the
+    path that actually serves) of the same checkpoint must pass the fp32
+    golden at the tpu-bf16 tier — waveform checksum included — and must
+    FAIL the tight cpu-fp32 tier (the tiers genuinely discriminate)."""
+    report = verify.collect_report(golden_dir, production=True)
+    golden = verify.load_golden(GOLDEN)
+    errs = verify.compare_reports(report, golden, tier="tpu-bf16")
+    assert not errs, "\n".join(errs)
+    assert "wav" in golden["checksums"]  # the waveform IS pinned
+    assert verify.compare_reports(report, golden, tier="cpu-fp32")
+
+
+def test_corruption_fails_bf16_tier(golden_dir, tmp_path):
+    """Checksum bands at the loose tier still catch a real corruption (the
+    bf16 tier is not so wide it passes everything)."""
+    import shutil
+
+    from qwen3_tts_tpu.io import safetensors_io
+
+    broken = str(tmp_path / "broken")
+    shutil.copytree(golden_dir, broken)
+    p = os.path.join(broken, "model.safetensors")
+    w = safetensors_io.load_file(p)
+    key = next(k for k in sorted(w) if k.endswith("codec_head.scales"))
+    w[key] = np.asarray(w[key]) * 1.5  # wrong dequant scale
+    safetensors_io.save_file(w, p)
+    report = verify.collect_report(broken)
+    golden = verify.load_golden(GOLDEN)
+    errs = verify.compare_reports(report, golden, tier="tpu-bf16")
+    assert errs, "corrupted checkpoint passed the tpu-bf16 tier"
+
+
 def test_verify_detects_corruption(golden_dir):
     """A perturbed checkpoint must FAIL the golden diff (the harness actually
     discriminates, it does not just always pass)."""
