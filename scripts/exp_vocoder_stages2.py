@@ -133,9 +133,19 @@ def main():
     )(params)
     jax.block_until_ready(params["kernel"])
 
-    fns = stage_fns(cfg, tail_fused="t_w" in params["kernel"]["blocks"][-1])
     t = 26 if len(sys.argv) < 2 else int(sys.argv[1])
-    codes = jnp.zeros((1, cfg.num_quantizers, t), jnp.int32)
+    b = 1 if len(sys.argv) < 3 else int(sys.argv[2])
+    if b > 1:
+        # serving batch: decode_frames gates the kernels off at B>1 (they
+        # lose to XLA's batched convs there) — drop the subtree so the
+        # prefix graphs measure the actual serving path
+        params.pop("kernel")
+    fns = stage_fns(
+        cfg,
+        tail_fused="kernel" in params
+        and "t_w" in params["kernel"]["blocks"][-1],
+    )
+    codes = jnp.zeros((b, cfg.num_quantizers, t), jnp.int32)
 
     def prefix(k):
         @jax.jit
