@@ -334,9 +334,29 @@ def decode_frames(
     else:
         h = pre_transformer(params["pre_transformer"], h, cfg)
 
-    for stage, ratio in zip(params["upsample"], cfg.upsampling_ratios):
-        h = causal_transpose_conv1d(stage["tconv"], h, stride=ratio)
-        h = convnext_block(stage["convnext"], h)
+    # Fused ConvNeXt-upsample stages (one pallas_call per stage, activation
+    # VMEM-resident; ops/pallas/upsample_kernel.py). Single-stream only, like
+    # the other vocoder kernels, and T-capped: stage activations grow as
+    # [4T, 4096] fp32, so huge QWEN3TTS_DECODE_CHUNK_SIZE overrides stay on
+    # the XLA path.
+    if (
+        kernel is not None
+        and kernel.get("upsample") is not None
+        and codes.shape[0] == 1
+        and codes.shape[2] <= 256
+    ):
+        from ..ops.pallas.upsample_kernel import upsample_stage_fused
+
+        for kp in kernel["upsample"]:
+            h = upsample_stage_fused(
+                kp, h,
+                compute_dtype=kernel_compute_dtype,
+                interpret=kernel_interpret,
+            )
+    else:
+        for stage, ratio in zip(params["upsample"], cfg.upsampling_ratios):
+            h = causal_transpose_conv1d(stage["tconv"], h, stride=ratio)
+            h = convnext_block(stage["convnext"], h)
 
     wav = left_pad_conv1d(params["decoder"]["initial_conv"], h)
     # Fused SEANet blocks win single-stream (B=1 T=96: 16.9 ms vs 22.6 plain

@@ -378,15 +378,27 @@ def _pretransformer_subtree(params: dict, cfg):
         return None
 
 
+def _upsample_subtree(params: dict, build, weight_dtype):
+    # fused ConvNeXt-upsample stages (ops/pallas/upsample_kernel.py); a
+    # layout the kernel doesn't cover (k != stride, channel change) falls
+    # back to the jnp upsample loop
+    try:
+        return [build(stage, weight_dtype) for stage in params["upsample"]]
+    except ValueError:
+        return None
+
+
 def build_vocoder_kernel_params(
     params: dict, cfg, weight_dtype=ml_dtypes.bfloat16
 ) -> dict:
-    """Kernel param subtree (SEANet blocks + pre-transformer mega-kernel);
-    store under params["kernel"] to enable the fused paths in
-    models/vocoder.py. Block params build host-side (numpy); the
-    pre-transformer subtree builds via jnp (transposes run on device after
-    upload, which device_put of the full tree then passes through). The
-    LAST block's kernel absorbs out_snake/out_conv/clip (tail fusion)."""
+    """Kernel param subtree (SEANet blocks + ConvNeXt-upsample stages +
+    pre-transformer mega-kernel); store under params["kernel"] to enable the
+    fused paths in models/vocoder.py. Block params build host-side (numpy);
+    the pre-transformer subtree builds via jnp (transposes run on device
+    after upload, which device_put of the full tree then passes through).
+    The LAST block's kernel absorbs out_snake/out_conv/clip (tail fusion)."""
+    from .upsample_kernel import build_upsample_stage_params
+
     blocks = params["decoder"]["blocks"]
     last = len(blocks) - 1
     return {
@@ -400,6 +412,9 @@ def build_vocoder_kernel_params(
             )
             for i, (block, rate) in enumerate(zip(blocks, cfg.upsample_rates))
         ],
+        "upsample": _upsample_subtree(
+            params, build_upsample_stage_params, weight_dtype
+        ),
         "pre_transformer": _pretransformer_subtree(params, cfg),
     }
 
@@ -410,6 +425,8 @@ def build_vocoder_kernel_params_device(
     """Device-side (jittable) variant of build_vocoder_kernel_params, for
     params that already live on device (e.g. bench/test random init) —
     avoids pulling ~150 MB of vocoder weights over the throttled host."""
+    from .upsample_kernel import build_upsample_stage_params_device
+
     blocks = params["decoder"]["blocks"]
     last = len(blocks) - 1
     return {
@@ -423,5 +440,8 @@ def build_vocoder_kernel_params_device(
             )
             for i, (block, rate) in enumerate(zip(blocks, cfg.upsample_rates))
         ],
+        "upsample": _upsample_subtree(
+            params, build_upsample_stage_params_device, weight_dtype
+        ),
         "pre_transformer": _pretransformer_subtree(params, cfg),
     }

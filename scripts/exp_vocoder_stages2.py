@@ -36,6 +36,21 @@ def stage_fns(cfg, tail_fused=False):
     """Ordered (name, fn) where each fn advances the carried activation."""
 
     def up(params, h):
+        # mirror decode_frames: fused stages at B=1, T<=256 (the TPU default)
+        kernel = params.get("kernel")
+        if (
+            kernel is not None
+            and kernel.get("upsample") is not None
+            and h.shape[0] == 1
+            and h.shape[1] <= 256
+        ):
+            from qwen3_tts_tpu.ops.pallas.upsample_kernel import (
+                upsample_stage_fused,
+            )
+
+            for kp in kernel["upsample"]:
+                h = upsample_stage_fused(kp, h)
+            return h
         for stage, ratio in zip(params["upsample"], cfg.upsampling_ratios):
             h = causal_transpose_conv1d(stage["tconv"], h, stride=ratio)
             h = convnext_block(stage["convnext"], h)

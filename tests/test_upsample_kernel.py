@@ -1,0 +1,98 @@
+"""Parity tests for the fused ConvNeXt-upsample Pallas kernel
+(ops/pallas/upsample_kernel.py) against the jnp path it replaces
+(causal_transpose_conv1d + convnext_block, the models/vocoder.py
+decode_frames upsample loop)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from qwen3_tts_tpu.ops.conv import causal_transpose_conv1d, convnext_block
+from qwen3_tts_tpu.ops.pallas.upsample_kernel import (
+    build_upsample_stage_params,
+    upsample_stage_fused,
+)
+
+
+def make_stage(key, c, dtype=jnp.float32):
+    ks = jax.random.split(key, 6)
+
+    def dense(k, o, i):
+        k1, k2 = jax.random.split(k)
+        return {
+            "w": (jax.random.normal(k1, (o, i)) * 0.1).astype(dtype),
+            "b": (jax.random.normal(k2, (o,)) * 0.1).astype(dtype),
+        }
+
+    return {
+        "tconv": {
+            "w": (jax.random.normal(ks[0], (2, c, c)) * 0.1).astype(dtype),
+            "b": (jax.random.normal(ks[1], (c,)) * 0.1).astype(dtype),
+        },
+        "convnext": {
+            "dwconv": {
+                "w": (jax.random.normal(ks[2], (7, 1, c)) * 0.2).astype(dtype),
+                "b": (jax.random.normal(ks[3], (c,)) * 0.1).astype(dtype),
+            },
+            "norm": {
+                "w": 1.0 + 0.1 * jax.random.normal(ks[4], (c,)).astype(dtype),
+                "b": (jax.random.normal(ks[5], (c,)) * 0.1).astype(dtype),
+            },
+            "pwconv1": dense(jax.random.fold_in(key, 1), 4 * c, c),
+            "pwconv2": dense(jax.random.fold_in(key, 2), c, 4 * c),
+            "gamma": (jnp.full((c,), 0.01, dtype)),
+        },
+    }
+
+
+def ref_stage(stage, x):
+    h = causal_transpose_conv1d(stage["tconv"], x, stride=2)
+    return convnext_block(stage["convnext"], h)
+
+
+@pytest.mark.parametrize("c,t,b", [(128, 26, 1), (256, 53, 2), (128, 8, 1)])
+def test_upsample_stage_parity(c, t, b):
+    key = jax.random.PRNGKey(c + t)
+    stage = make_stage(key, c)
+    x = jax.random.normal(jax.random.fold_in(key, 9), (b, t, c), jnp.float32)
+
+    want = ref_stage(stage, x)
+    kp = build_upsample_stage_params(stage, weight_dtype=np.float32)
+    got = upsample_stage_fused(
+        kp, x, compute_dtype=jnp.float32, interpret=True
+    )
+
+    assert got.shape == want.shape == (b, 2 * t, c)
+    np.testing.assert_allclose(
+        np.asarray(got), np.asarray(want), rtol=2e-5, atol=2e-5
+    )
+
+
+def test_two_stage_chain_matches_decode_loop():
+    """Chaining two fused stages == the decode_frames upsample loop."""
+    c = 128
+    key = jax.random.PRNGKey(3)
+    stages = [make_stage(jax.random.fold_in(key, i), c) for i in range(2)]
+    x = jax.random.normal(jax.random.fold_in(key, 7), (1, 19, c), jnp.float32)
+
+    want = x
+    for s in stages:
+        want = ref_stage(s, want)
+
+    got = x
+    for s in stages:
+        kp = build_upsample_stage_params(s, weight_dtype=np.float32)
+        got = upsample_stage_fused(
+            kp, got, compute_dtype=jnp.float32, interpret=True
+        )
+    np.testing.assert_allclose(
+        np.asarray(got), np.asarray(want), rtol=3e-5, atol=3e-5
+    )
+
+
+def test_builder_rejects_unexpected_layout():
+    stage = make_stage(jax.random.PRNGKey(0), 64)
+    stage["tconv"]["w"] = jnp.zeros((3, 64, 64))  # k != stride
+    with pytest.raises(ValueError):
+        build_upsample_stage_params(stage)
