@@ -399,15 +399,40 @@ def kernel_parity_check(config: Qwen3TTSConfig) -> dict:
 def _probe_backend(aux: dict, tries: int = 4) -> None:
     """Force backend init with bounded retries — the r3 capture died on a
     TRANSIENT 'Unable to initialize backend axon' at the first device op and
-    emitted nothing. A flaky tunnel must cost a retry, never the JSON line."""
+    emitted nothing. A flaky tunnel must cost a retry, never the JSON line.
+
+    Each attempt first probes in a SUBPROCESS with a hard timeout: the axon
+    backend has two observed failure modes — a fast UNAVAILABLE error (r3)
+    and an indefinite HANG inside jax.devices() (r4) — and a hang inside
+    this process cannot be interrupted (the init blocks in C). Only after
+    the subprocess proves the tunnel responsive does in-process init run;
+    a residual in-process hang is covered by the main() watchdog."""
+    import subprocess
+
     delays = (15, 45, 90)
     for attempt in range(tries):
         try:
+            probe = subprocess.run(
+                [sys.executable, "-c",
+                 "import jax; jax.devices(); print('ok', flush=True)"],
+                timeout=int(os.environ.get("QWEN3TTS_BENCH_PROBE_TIMEOUT", "300")),
+                capture_output=True, text=True,
+            )
+            if "ok" not in probe.stdout:
+                raise RuntimeError(
+                    "backend probe subprocess failed: "
+                    + (probe.stderr or probe.stdout)[-300:]
+                )
             jnp.zeros((8,), jnp.float32).block_until_ready()
             aux["backend"] = jax.default_backend()
             if attempt:
                 aux["backend_init_retries"] = attempt
             return
+        except subprocess.TimeoutExpired:
+            aux["backend_init_error"] = "backend init HUNG past probe timeout"
+            if attempt == tries - 1:
+                raise RuntimeError("backend init hung on every probe attempt")
+            time.sleep(delays[min(attempt, len(delays) - 1)])
         except Exception as e:
             aux["backend_init_error"] = f"{type(e).__name__}: {e}"[:300]
             if attempt == tries - 1:
@@ -511,6 +536,26 @@ def run_all(out: dict) -> None:
         out["vs_baseline"] = round(headline / BASELINE_RTF, 4)
 
 
+def _arm_watchdog(out: dict, seconds: int):
+    """Last-resort hang containment: if run_all wedges anywhere the process
+    cannot be interrupted from (device op stuck in C, remote compile stuck),
+    emit whatever has been measured so far as the JSON line and exit 0. A
+    cold-cache full run takes ~25 min; the default deadline leaves slack."""
+    import threading
+
+    def fire():
+        out.setdefault(
+            "error", f"watchdog: bench exceeded {seconds}s; partial aux only"
+        )
+        print(json.dumps(out), flush=True)
+        os._exit(0)
+
+    t = threading.Timer(seconds, fire)
+    t.daemon = True
+    t.start()
+    return t
+
+
 def main() -> None:
     out = {
         "metric": "e2e_rtf_1.7b_bf16_w8a8_parity",
@@ -519,12 +564,16 @@ def main() -> None:
         "vs_baseline": None,
         "aux": {},
     }
+    watchdog = _arm_watchdog(
+        out, int(os.environ.get("QWEN3TTS_BENCH_DEADLINE", "2700"))
+    )
     try:
         run_all(out)
     except Exception as e:
         # total containment: the driver must ALWAYS have a JSON line to parse
         out["error"] = f"{type(e).__name__}: {e}"[:500]
         traceback.print_exc(file=sys.stderr)
+    watchdog.cancel()
     print(json.dumps(out), flush=True)
 
 

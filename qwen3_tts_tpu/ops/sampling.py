@@ -18,8 +18,12 @@ from __future__ import annotations
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
-NEG_INF = jnp.float32(-1e30)
+# np, not jnp: a module-level jnp scalar would initialize the JAX backend at
+# IMPORT time — on a hung TPU tunnel that blocks `import qwen3_tts_tpu`
+# itself, before any failure containment (bench.py) can run
+NEG_INF = np.float32(-1e30)
 
 
 def talker_valid_mask(vocab_size: int, codebook_size: int = 2048,
