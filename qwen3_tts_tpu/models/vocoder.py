@@ -339,6 +339,7 @@ def decode_frames(
     # the other vocoder kernels, and T-capped: stage activations grow as
     # [4T, 4096] fp32, so huge QWEN3TTS_DECODE_CHUNK_SIZE overrides stay on
     # the XLA path.
+    ic_folded = False
     if (
         kernel is not None
         and kernel.get("upsample") is not None
@@ -353,12 +354,14 @@ def decode_frames(
                 compute_dtype=kernel_compute_dtype,
                 interpret=kernel_interpret,
             )
+        # the last stage's kernel absorbed the SEANet initial_conv
+        ic_folded = "ic_w" in kernel["upsample"][-1]
     else:
         for stage, ratio in zip(params["upsample"], cfg.upsampling_ratios):
             h = causal_transpose_conv1d(stage["tconv"], h, stride=ratio)
             h = convnext_block(stage["convnext"], h)
 
-    wav = left_pad_conv1d(params["decoder"]["initial_conv"], h)
+    wav = h if ic_folded else left_pad_conv1d(params["decoder"]["initial_conv"], h)
     # Fused SEANet blocks win single-stream (B=1 T=96: 16.9 ms vs 22.6 plain
     # on v5e) but lose at serving batch (B=32 T=48: 253 vs 189) where XLA's
     # batched convs amortize — B=1 only.

@@ -53,11 +53,17 @@ def _np32(x) -> np.ndarray:
     return np.asarray(jax.device_get(x), np.float32)
 
 
-def _build_stage_params(stage, xp, to32, weight_dtype) -> dict:
+def _build_stage_params(stage, xp, to32, weight_dtype, initial_conv=None) -> dict:
     """Kernel param layout for one upsample stage (models/vocoder.py init:
     {"tconv": k=2/stride=2 pre-flipped HIO, "convnext": ConvNeXt block}).
     Generic over xp = numpy (host, checkpoint load) / jax.numpy (device,
-    jittable — random-init benches skip the throttled host link)."""
+    jittable — random-init benches skip the throttled host link).
+
+    `initial_conv` (the SEANet decoder's left-pad k=7 entry conv,
+    SpeechTokenizer.swift:786-803) folds into the LAST stage's kernel: its
+    taps decompose over the stage's output phases exactly like the
+    depthwise conv, just with matmul taps — the [B, 2T, 1024] ConvNeXt
+    output then never round-trips HBM before the width change to 1536."""
     w = to32(stage["tconv"]["w"])  # [2, Cin, Cout], pre-flipped HIO
     k, cin, cout = w.shape
     if k != 2 or cin != cout:
@@ -66,7 +72,17 @@ def _build_stage_params(stage, xp, to32, weight_dtype) -> dict:
     dw = to32(cn["dwconv"]["w"])[:, 0, :]  # [7, C]
     if dw.shape[0] != 7:
         raise ValueError(f"upsample kernel expects dwconv k=7 (got {dw.shape})")
+    ic = {}
+    if initial_conv is not None:
+        w_ic = to32(initial_conv["w"])  # [7, C, Cic]
+        if w_ic.shape[0] != 7 or w_ic.shape[1] != cin:
+            raise ValueError(f"initial_conv fold expects k=7 from C (got {w_ic.shape})")
+        ic = {
+            "ic_w": w_ic[::-1].astype(weight_dtype),  # reversed taps
+            "ic_b": to32(initial_conv["b"])[None],
+        }
     return {
+        **ic,
         # phase p columns = w[stride-1-p] (ops/conv.py:157 ordering); the
         # bias tiles across both phase lane-halves
         "up_w": xp.concatenate([w[1], w[0]], axis=1).astype(weight_dtype),
@@ -85,15 +101,20 @@ def _build_stage_params(stage, xp, to32, weight_dtype) -> dict:
     }
 
 
-def build_upsample_stage_params(stage: dict, weight_dtype=np.float32) -> dict:
+def build_upsample_stage_params(
+    stage: dict, weight_dtype=np.float32, initial_conv: dict | None = None
+) -> dict:
     """Host-side (numpy) kernel params for one stage."""
-    return _build_stage_params(stage, np, _np32, weight_dtype)
+    return _build_stage_params(stage, np, _np32, weight_dtype, initial_conv)
 
 
-def build_upsample_stage_params_device(stage: dict, weight_dtype=jnp.bfloat16) -> dict:
+def build_upsample_stage_params_device(
+    stage: dict, weight_dtype=jnp.bfloat16, initial_conv: dict | None = None
+) -> dict:
     """Device-side (jnp, jittable) kernel params for one stage."""
     return _build_stage_params(
-        stage, jnp, lambda x: jnp.asarray(x, jnp.float32), weight_dtype
+        stage, jnp, lambda x: jnp.asarray(x, jnp.float32), weight_dtype,
+        initial_conv,
     )
 
 
@@ -101,11 +122,12 @@ _PARAMS = (
     "up_w", "up_b", "dw", "dw_b", "ln_w", "ln_b",
     "pw1_w", "pw1_b", "pw2_w", "pw2_b", "gamma",
 )
+_IC_PARAMS = ("ic_w", "ic_b")
 
 
-def _stage_kernel(*refs, cd):
-    p = dict(zip(_PARAMS, refs[: len(_PARAMS)]))
-    x_ref, out_ref = refs[len(_PARAMS):]
+def _stage_kernel(*refs, cd, names):
+    p = dict(zip(names, refs[: len(names)]))
+    x_ref, out_ref = refs[len(names):]
     x = x_ref[0]  # [T, C]
     t, c = x.shape
 
@@ -155,7 +177,32 @@ def _stage_kernel(*refs, cd):
 
     o0 = convnext_tail(h0, y0)
     o1 = convnext_tail(h1, y1)
-    out_ref[0] = jnp.concatenate([o0, o1], axis=1).astype(out_ref.dtype)
+
+    if "ic_w" in p:
+        # folded initial_conv (left-pad k=7, C -> Cic): matmul taps over the
+        # stage's output phases, same decomposition as the depthwise conv
+        W = [p["ic_w"][i] for i in range(7)]
+
+        def tap(a, wi):
+            return jax.lax.dot_general(
+                a.astype(cd), wi.astype(cd), (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+
+        b_ic = p["ic_b"][:]
+        ic0 = (
+            b_ic + tap(o0, W[0]) + tap(sh(o1, 1), W[1]) + tap(sh(o0, 1), W[2])
+            + tap(sh(o1, 2), W[3]) + tap(sh(o0, 2), W[4])
+            + tap(sh(o1, 3), W[5]) + tap(sh(o0, 3), W[6])
+        )
+        ic1 = (
+            b_ic + tap(o1, W[0]) + tap(o0, W[1]) + tap(sh(o1, 1), W[2])
+            + tap(sh(o0, 1), W[3]) + tap(sh(o1, 2), W[4])
+            + tap(sh(o0, 2), W[5]) + tap(sh(o1, 3), W[6])
+        )
+        out_ref[0] = jnp.concatenate([ic0, ic1], axis=1).astype(out_ref.dtype)
+    else:
+        out_ref[0] = jnp.concatenate([o0, o1], axis=1).astype(out_ref.dtype)
 
 
 @functools.partial(jax.jit, static_argnames=("compute_dtype", "interpret"))
@@ -169,9 +216,13 @@ def upsample_stage_fused(
     """Fused upsample stage: x [B, T, C] -> [B, 2T, C], one pallas_call.
 
     Numerically equivalent (fp32 tolerance at float32 weight/compute dtypes)
-    to causal_transpose_conv1d(stride=2) + convnext_block (ops/conv.py)."""
+    to causal_transpose_conv1d(stride=2) + convnext_block (ops/conv.py).
+    With the folded initial_conv (kp carries ic_w/ic_b, the last stage) the
+    output is [B, 2T, Cic] — left_pad_conv1d applied on top."""
     bsz, t, c = x.shape
-    kernel = functools.partial(_stage_kernel, cd=compute_dtype)
+    names = _PARAMS + _IC_PARAMS if "ic_w" in kp else _PARAMS
+    out_c = kp["ic_w"].shape[-1] if "ic_w" in kp else c
+    kernel = functools.partial(_stage_kernel, cd=compute_dtype, names=names)
     out = pl.pallas_call(
         kernel,
         grid=(bsz,),
@@ -182,16 +233,16 @@ def upsample_stage_fused(
                     lambda b, _n=np.ndim(kp[name]): (0,) * _n,
                     memory_space=pltpu.VMEM,
                 )
-                for name in _PARAMS
+                for name in names
             ),
             pl.BlockSpec((1, t, c), lambda b: (b, 0, 0), memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec(
-            (1, t, 2 * c), lambda b: (b, 0, 0), memory_space=pltpu.VMEM
+            (1, t, 2 * out_c), lambda b: (b, 0, 0), memory_space=pltpu.VMEM
         ),
-        out_shape=jax.ShapeDtypeStruct((bsz, t, 2 * c), x.dtype),
+        out_shape=jax.ShapeDtypeStruct((bsz, t, 2 * out_c), x.dtype),
         compiler_params=pltpu.CompilerParams(vmem_limit_bytes=127 * 2**20),
         interpret=pltpu.InterpretParams() if interpret else False,
-    )(*(kp[name] for name in _PARAMS), x)
-    # phase interleave [B, T, 2, C] -> [B, 2T, C]: free contiguous reshape
-    return out.reshape(bsz, 2 * t, c)
+    )(*(kp[name] for name in names), x)
+    # phase interleave [B, T, 2, C'] -> [B, 2T, C']: free contiguous reshape
+    return out.reshape(bsz, 2 * t, out_c)

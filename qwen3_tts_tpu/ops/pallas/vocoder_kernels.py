@@ -379,11 +379,22 @@ def _pretransformer_subtree(params: dict, cfg):
 
 
 def _upsample_subtree(params: dict, build, weight_dtype):
-    # fused ConvNeXt-upsample stages (ops/pallas/upsample_kernel.py); a
-    # layout the kernel doesn't cover (k != stride, channel change) falls
-    # back to the jnp upsample loop
+    # fused ConvNeXt-upsample stages (ops/pallas/upsample_kernel.py), with
+    # the SEANet initial_conv folded into the LAST stage's kernel; a layout
+    # the kernel doesn't cover (k != stride, channel change) falls back to
+    # the jnp upsample loop
+    stages = params["upsample"]
+    last = len(stages) - 1
     try:
-        return [build(stage, weight_dtype) for stage in params["upsample"]]
+        return [
+            build(
+                stage, weight_dtype,
+                initial_conv=(
+                    params["decoder"]["initial_conv"] if i == last else None
+                ),
+            )
+            for i, stage in enumerate(stages)
+        ]
     except ValueError:
         return None
 

@@ -32,7 +32,7 @@ from qwen3_tts_tpu.ops.pallas.vocoder_kernels import (
 )
 
 
-def stage_fns(cfg, tail_fused=False):
+def stage_fns(cfg, tail_fused=False, ic_fused=False):
     """Ordered (name, fn) where each fn advances the carried activation."""
 
     def up(params, h):
@@ -99,11 +99,13 @@ def stage_fns(cfg, tail_fused=False):
         ("rvq+pre_conv", lambda p, c: causal_conv1d(
             p["pre_conv"], rvq_decode(p["quantizer"], c))),
         ("pre_transformer", lambda p, h: pt(p, h)),
-        ("upsample(convnext)", up),
-        ("initial_conv", lambda p, h: left_pad_conv1d(
-            p["decoder"]["initial_conv"], h)),
-        ("seanet_blocks", blocks),
+        # with ic fusion the last upsample kernel absorbed initial_conv
+        ("upsample+ic(fused)" if ic_fused else "upsample(convnext)", up),
     ]
+    if not ic_fused:
+        stages.append(("initial_conv", lambda p, h: left_pad_conv1d(
+            p["decoder"]["initial_conv"], h)))
+    stages.append(("seanet_blocks", blocks))
     if not tail_fused:
         # with tail fusion (kernel blocks carry "t_w"), the last SEANet
         # kernel already applied out_snake + out_conv + clip
@@ -150,15 +152,22 @@ def main():
 
     t = 26 if len(sys.argv) < 2 else int(sys.argv[1])
     b = 1 if len(sys.argv) < 3 else int(sys.argv[2])
-    if b > 1:
-        # serving batch: decode_frames gates the kernels off at B>1 (they
-        # lose to XLA's batched convs there) — drop the subtree so the
-        # prefix graphs measure the actual serving path
+    if b > 1 or "plain" in sys.argv[3:]:
+        # serving batch (or explicit "plain" A/B arm): decode_frames gates
+        # the kernels off at B>1 (they lose to XLA's batched convs there) —
+        # drop the subtree so the prefix graphs measure that path
         params.pop("kernel")
+    kern = params.get("kernel")
     fns = stage_fns(
         cfg,
-        tail_fused="kernel" in params
-        and "t_w" in params["kernel"]["blocks"][-1],
+        tail_fused=kern is not None and "t_w" in kern["blocks"][-1],
+        ic_fused=(
+            b == 1
+            and t <= 256
+            and kern is not None
+            and kern.get("upsample") is not None
+            and "ic_w" in kern["upsample"][-1]
+        ),
     )
     codes = jnp.zeros((b, cfg.num_quantizers, t), jnp.int32)
 

@@ -91,6 +91,33 @@ def test_two_stage_chain_matches_decode_loop():
     )
 
 
+def test_initial_conv_fold_parity():
+    """The last stage's kernel with folded initial_conv == jnp stage +
+    left_pad_conv1d."""
+    from qwen3_tts_tpu.ops.conv import left_pad_conv1d
+
+    c, cic, t = 128, 256, 23
+    key = jax.random.PRNGKey(11)
+    stage = make_stage(key, c)
+    k1, k2 = jax.random.split(jax.random.fold_in(key, 5))
+    ic = {
+        "w": (jax.random.normal(k1, (7, c, cic)) * 0.1).astype(jnp.float32),
+        "b": (jax.random.normal(k2, (cic,)) * 0.1).astype(jnp.float32),
+    }
+    x = jax.random.normal(jax.random.fold_in(key, 9), (1, t, c), jnp.float32)
+
+    want = left_pad_conv1d(ic, ref_stage(stage, x))
+    kp = build_upsample_stage_params(
+        stage, weight_dtype=np.float32, initial_conv=ic
+    )
+    got = upsample_stage_fused(kp, x, compute_dtype=jnp.float32, interpret=True)
+
+    assert got.shape == want.shape == (1, 2 * t, cic)
+    np.testing.assert_allclose(
+        np.asarray(got), np.asarray(want), rtol=3e-5, atol=3e-5
+    )
+
+
 def test_builder_rejects_unexpected_layout():
     stage = make_stage(jax.random.PRNGKey(0), 64)
     stage["tconv"]["w"] = jnp.zeros((3, 64, 64))  # k != stride
