@@ -477,6 +477,29 @@ def kernel_parity_check(config: Qwen3TTSConfig) -> dict:
     }
 
 
+def vocoder_parity_check(voc_params, vcfg) -> dict:
+    """Compiled vocoder kernels (pre-transformer, upsample+ic, SEANet
+    blocks+tail) vs the jnp path on the chip, one stream chunk — the same
+    'Mosaic compiled != interpreter' gap the decode kernel check closes.
+    bf16 tolerance tier: the kernels run bf16 matmuls against the jnp
+    path's f32."""
+    codes = jax.random.randint(
+        jax.random.PRNGKey(5), (1, vcfg.num_quantizers, 26), 0,
+        vcfg.codebook_size, jnp.int32,
+    )
+    fused = voc.decode_frames_jit(voc_params, codes, vcfg)
+    plain = voc.decode_frames_jit(
+        {k: v for k, v in voc_params.items() if k != "kernel"}, codes, vcfg
+    )
+    fused, plain = np.asarray(fused, np.float64), np.asarray(plain, np.float64)
+    denom = float(np.sqrt(np.mean(plain**2))) or 1.0
+    rel = float(np.sqrt(np.mean((fused - plain) ** 2))) / denom
+    return {
+        "tpu_vocoder_kernel_rel_rms_vs_jnp": round(rel, 5),
+        "tpu_vocoder_kernel_parity_ok": bool(rel < 0.05),
+    }
+
+
 def _probe_backend(aux: dict, tries: int = 4) -> None:
     """Force backend init with bounded retries — the r3 capture died on a
     TRANSIENT 'Unable to initialize backend axon' at the first device op and
@@ -613,6 +636,11 @@ def run_all(out: dict) -> None:
         )
         if parity is not None:
             aux.update(parity)
+        vparity = phase(
+            "vocoder_parity", lambda: vocoder_parity_check(voc_params, vcfg)
+        )
+        if vparity is not None:
+            aux.update(vparity)
 
     headline = rtf_17 if rtf_17 is not None else rtf_06
     if headline is not None:
