@@ -296,6 +296,17 @@ def decode_frames(
     same convention as the talker/cp mega-kernels, models/generate.py)."""
     if kernel_interpret is None:
         kernel_interpret = jax.default_backend() != "tpu"
+    # The fused kernels default to single-stream (B=1): at serving batch the
+    # SEANet kernels measured slower than XLA's batched convs (B=32 T=48:
+    # 253 vs 189 ms). QWEN3TTS_VOCODER_KERNEL_BATCH=1 lifts the B=1 gate on
+    # the upsample + SEANet kernels for A/B measurement (the pre-transformer
+    # kernel is structurally single-stream).
+    import os
+
+    batch_ok = (
+        codes.shape[0] == 1
+        or os.environ.get("QWEN3TTS_VOCODER_KERNEL_BATCH") == "1"
+    )
     h = rvq_decode(params["quantizer"], codes)            # [B, T, 512]
     h = causal_conv1d(params["pre_conv"], h)              # [B, T, 1024]
     kernel = params.get("kernel")
@@ -343,7 +354,7 @@ def decode_frames(
     if (
         kernel is not None
         and kernel.get("upsample") is not None
-        and codes.shape[0] == 1
+        and batch_ok
         and codes.shape[2] <= 256
     ):
         from ..ops.pallas.upsample_kernel import upsample_stage_fused
@@ -365,7 +376,7 @@ def decode_frames(
     # Fused SEANet blocks win single-stream (B=1 T=96: 16.9 ms vs 22.6 plain
     # on v5e) but lose at serving batch (B=32 T=48: 253 vs 189) where XLA's
     # batched convs amortize — B=1 only.
-    if kernel is not None and codes.shape[0] == 1:
+    if kernel is not None and batch_ok:
         from ..ops.pallas.vocoder_kernels import seanet_block_fused
 
         for kp, block, rate in zip(

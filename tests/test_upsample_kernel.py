@@ -118,6 +118,42 @@ def test_initial_conv_fold_parity():
     )
 
 
+def test_batch_lifted_kernel_path_parity(monkeypatch):
+    """QWEN3TTS_VOCODER_KERNEL_BATCH=1 lifts the B=1 gate on the upsample +
+    SEANet kernels (the serving-batch A/B knob); decode_frames stays
+    parity-correct at B>1 with every kernel engaged."""
+    import dataclasses
+
+    from qwen3_tts_tpu.config import TokenizerDecoderConfig
+    from qwen3_tts_tpu.models import vocoder as voc
+    from qwen3_tts_tpu.ops.pallas.vocoder_kernels import (
+        build_vocoder_kernel_params,
+    )
+
+    monkeypatch.setenv("QWEN3TTS_VOCODER_KERNEL_BATCH", "1")
+    cfg = dataclasses.replace(
+        TokenizerDecoderConfig(), num_hidden_layers=2, latent_dim=128,
+        codebook_dim=64, decoder_dim=192, hidden_size=64,
+        intermediate_size=128, num_attention_heads=2, head_dim=32,
+        upsample_rates=(2, 2), upsampling_ratios=(2, 2),
+    )
+    params = voc.init_vocoder_params(cfg, jax.random.PRNGKey(0), jnp.float32)
+    kp = build_vocoder_kernel_params(params, cfg, weight_dtype=np.float32)
+    assert kp["upsample"] is not None and "ic_w" in kp["upsample"][-1]
+    codes = jax.random.randint(
+        jax.random.PRNGKey(1), (2, cfg.num_quantizers, 11), 0,
+        cfg.codebook_size, jnp.int32,
+    )
+    fused = voc.decode_frames(
+        dict(params, kernel=kp), codes, cfg,
+        kernel_compute_dtype=jnp.float32, kernel_interpret=True,
+    )
+    plain = voc.decode_frames(params, codes, cfg)
+    np.testing.assert_allclose(
+        np.asarray(fused), np.asarray(plain), rtol=5e-4, atol=5e-5
+    )
+
+
 def test_builder_rejects_unexpected_layout():
     stage = make_stage(jax.random.PRNGKey(0), 64)
     stage["tconv"]["w"] = jnp.zeros((3, 64, 64))  # k != stride
