@@ -362,21 +362,24 @@ def main():
     print(f"talker stream {gb:.2f} GB/frame ({(w1.nbytes + w2.nbytes) / NL / 1e6:.1f} MB/layer), "
           f"cp blocks {c.nbytes / 1e6:.0f} MB/frame", flush=True)
 
+    # weights are ARGUMENTS, never closures: a closed-over device array
+    # becomes an HLO constant and the remote compile service rejects the
+    # 1.35 GB program with HTTP 413 (memory/axon gotcha)
     @jax.jit
-    def run_a(x, y):
+    def run_a(x, y, w1, w2, c):
         return jax.lax.scan(
             functools.partial(frame_a, w1=w1, w2=w2, c=c), (x, y), None,
             length=FRAMES)[0]
 
     @jax.jit
-    def run_b(x, y):
+    def run_b(x, y, w1, w2, c):
         return jax.lax.scan(
             functools.partial(frame_fused, w1=w1, w2=w2, c=c,
                               call=fused_call_b), (x, y), None,
             length=FRAMES)[0]
 
     @jax.jit
-    def run_c(x, y):
+    def run_c(x, y, w1, w2, c):
         return jax.lax.scan(
             functools.partial(frame_fused, w1=w1, w2=w2, c=c,
                               call=fused_call_c), (x, y), None,
@@ -385,7 +388,7 @@ def main():
     results = {}
     for name, fn in [("A two-kernel", run_a), ("B fused pipeline", run_b),
                      ("C fused manual-DMA", run_c)]:
-        ms = timeit(fn, (x0, y0))
+        ms = timeit(fn, (x0, y0, w1, w2, c))
         per = ms / FRAMES
         results[name] = per
         print(f"{name:20s}: {ms:8.2f} ms total, {per:6.3f} ms/frame", flush=True)
