@@ -194,12 +194,31 @@ def rvq_decode(params: dict, codes: jax.Array) -> jax.Array:
     (reference SplitResidualVectorQuantizer.decode, SpeechTokenizer.swift:684-691:
     semantic and acoustic halves each sum their codebook embeddings, project
     out, and the two results add)."""
+    import os
+
     sem = params["semantic"]
     aco = params["acoustic"]
     ns = sem["codebooks"].shape[0]
+    # A/B knob (measure on chip before flipping the default): row gathers
+    # can lower as dynamic-slice loops on TPU; the one-hot matmul form rides
+    # the MXU instead. HIGHEST precision keeps it bitwise EXACT for in-range
+    # codes (products are 1.0*x / 0.0*x). Out-of-range codes differ by
+    # design: jnp.take's default fills NaN; the clip here returns a real
+    # codebook row (callers clip first — serving.py / pipeline — so the
+    # branch only matters for malformed input, where NaN is strictly worse).
+    onehot = os.environ.get("QWEN3TTS_RVQ_ONEHOT") == "1"
 
     def gather_sum(cbs, half_codes):
         # cbs: [n, V, D]; half_codes: [B, n, T] -> [B, T, D]
+        if onehot:
+            v = cbs.shape[1]
+            oh = jax.nn.one_hot(
+                jnp.clip(half_codes, 0, v - 1), v, dtype=cbs.dtype
+            )  # [B, n, T, V]
+            return jnp.einsum(
+                "bntv,nvd->btd", oh, cbs, precision=jax.lax.Precision.HIGHEST
+            )
+
         def one(cb, c):  # cb [V, D], c [B, T]
             return jnp.take(cb, c, axis=0)  # [B, T, D]
 

@@ -154,6 +154,24 @@ def test_batch_lifted_kernel_path_parity(monkeypatch):
     )
 
 
+def test_rvq_onehot_formulation_exact(monkeypatch):
+    """QWEN3TTS_RVQ_ONEHOT=1 (MXU one-hot matmul form of the RVQ decode) is
+    bitwise-exact vs the gather form for in-range codes."""
+    from qwen3_tts_tpu.config import TokenizerDecoderConfig
+    from qwen3_tts_tpu.models import vocoder as voc
+
+    cfg = TokenizerDecoderConfig()
+    params = voc.init_vocoder_params(cfg, jax.random.PRNGKey(0), jnp.float32)
+    codes = jax.random.randint(
+        jax.random.PRNGKey(1), (2, cfg.num_quantizers, 9), 0,
+        cfg.codebook_size, jnp.int32,
+    )
+    a = voc.rvq_decode(params["quantizer"], codes)
+    monkeypatch.setenv("QWEN3TTS_RVQ_ONEHOT", "1")
+    b = voc.rvq_decode(params["quantizer"], codes)
+    np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
 def test_builder_rejects_unexpected_layout():
     stage = make_stage(jax.random.PRNGKey(0), 64)
     stage["tconv"]["w"] = jnp.zeros((3, 64, 64))  # k != stride
