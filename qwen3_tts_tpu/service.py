@@ -29,6 +29,12 @@ Scheduling per worker iteration (chunk `it` in flight):
 Greedy outputs per request are bitwise-identical to a fresh single-stream
 run — the same admission-parity invariant ContinuousServer proves, now under
 arbitrary arrival order (tests/test_service.py).
+
+Failure containment: an unexpected worker crash fails the in-flight requests
+(their streams raise ServiceClosed) and the worker RESTARTS with a fresh
+lockstep batch, up to `max_worker_restarts` times — one bad generation or
+transient device error never leaves a permanently dead service behind a
+healthy HTTP daemon.
 """
 
 from __future__ import annotations
@@ -128,6 +134,7 @@ class TTSService:
         left_context: int = 8,
         prompt_bucket: int | None = None,
         trailing_bucket: int | None = None,
+        max_worker_restarts: int = 2,
     ):
         self.pipeline = pipeline
         self.batch_size = batch_size
@@ -145,6 +152,8 @@ class TTSService:
         self._inbox: queue.Queue = queue.Queue()
         self._stop = threading.Event()
         self._seq = itertools.count()
+        self.max_worker_restarts = max_worker_restarts
+        self.worker_restarts = 0
         self._worker = threading.Thread(
             target=self._run, name="tts-service", daemon=True
         )
@@ -232,6 +241,32 @@ class TTSService:
         )
 
     def _run(self) -> None:
+        """Worker thread: serve until shutdown, restarting after an
+        unexpected crash (XLA runtime error, poisoned request) up to
+        `max_worker_restarts` times. A crash fails the requests that were in
+        flight (their streams raise ServiceClosed) but the NEXT submission
+        is served by a fresh lockstep batch — one bad generation must not
+        turn into a permanently dead service."""
+        while True:
+            try:
+                self._serve_once()
+                return  # clean shutdown (stop set)
+            except Exception:
+                if (
+                    self._stop.is_set()
+                    or self.worker_restarts >= self.max_worker_restarts
+                ):
+                    # give up: fail everything still queued, stop accepting
+                    self._stop.set()
+                    err = ServiceClosed("service is shut down")
+                    while True:
+                        try:
+                            self._inbox.get_nowait()._push(err)
+                        except queue.Empty:
+                            return
+                self.worker_restarts += 1
+
+    def _serve_once(self) -> None:
         pl = self.pipeline
         b = self.batch_size
         dec_cfg = pl.speech_config.decoder_config
@@ -451,9 +486,12 @@ class TTSService:
                     sv.req = None
             for req in backlog:
                 req._push(err)
-            while True:
-                try:
-                    self._inbox.get_nowait()._push(err)
-                except queue.Empty:
-                    break
-            self._stop.set()
+            if isinstance(e, ServiceClosed):
+                # shutdown: nothing queued may hang
+                while True:
+                    try:
+                        self._inbox.get_nowait()._push(err)
+                    except queue.Empty:
+                        break
+                return
+            raise  # _run decides: restart with a fresh batch, or give up

@@ -218,6 +218,50 @@ def test_close_fails_pending_requests(tiny_pipeline):
         service.submit(TEXTS[1], "aiden")
 
 
+def test_worker_restarts_after_crash(tiny_pipeline, monkeypatch):
+    """An unexpected worker crash (injected XLA-style RuntimeError) fails the
+    in-flight request but the service RESTARTS with a fresh batch: the next
+    submission is served normally and still matches the canonical audio.
+    Exhausting max_worker_restarts shuts the service down for good."""
+    from qwen3_tts_tpu.models import serving as srv_mod
+
+    real = srv_mod.decode_chunk_serving
+    crash = threading.Event()
+    crash.set()
+
+    def flaky(*args, **kwargs):
+        if crash.is_set():
+            crash.clear()
+            raise RuntimeError("injected device failure")
+        return real(*args, **kwargs)
+
+    monkeypatch.setattr(srv_mod, "decode_chunk_serving", flaky)
+    svc = _mk_service(tiny_pipeline)
+    try:
+        doomed = svc.submit(TEXTS[0], "aiden", max_tokens=8, seed=0)
+        with pytest.raises(ServiceClosed):
+            doomed.audio()
+        assert svc.worker_restarts == 1
+
+        ok = svc.submit(TEXTS[1], "aiden", max_tokens=8, seed=1)
+        audio, _ = _collect(ok)
+        np.testing.assert_allclose(
+            audio, _expected_audio(tiny_pipeline, TEXTS[1], 8),
+            rtol=1e-5, atol=1e-6,
+        )
+
+        # exhaust the restart budget -> permanently closed
+        svc.max_worker_restarts = svc.worker_restarts
+        crash.set()
+        dead = svc.submit(TEXTS[2], "aiden", max_tokens=8, seed=2)
+        with pytest.raises(ServiceClosed):
+            dead.audio()
+        with pytest.raises(ServiceClosed):
+            svc.submit(TEXTS[3], "aiden")
+    finally:
+        svc.close()
+
+
 def test_submit_rejects_oversized_prompt(tiny_pipeline):
     pl = tiny_pipeline
     service = TTSService(pl, batch_size=2, chunk_steps=5, prompt_bucket=64,
