@@ -7,6 +7,7 @@ it once. Run with the fused SEANet kernels attached (the TPU default)."""
 from __future__ import annotations
 
 import functools
+import os
 import sys
 import time
 
@@ -35,13 +36,22 @@ from qwen3_tts_tpu.ops.pallas.vocoder_kernels import (
 def stage_fns(cfg, tail_fused=False, ic_fused=False):
     """Ordered (name, fn) where each fn advances the carried activation."""
 
+    def _batch_ok(x):
+        # mirror decode_frames: B=1, or the A/B batch knob
+        import os
+
+        return (
+            x.shape[0] == 1
+            or os.environ.get("QWEN3TTS_VOCODER_KERNEL_BATCH") == "1"
+        )
+
     def up(params, h):
-        # mirror decode_frames: fused stages at B=1, T<=256 (the TPU default)
+        # mirror decode_frames: fused stages at B=1 (or knob), T<=256
         kernel = params.get("kernel")
         if (
             kernel is not None
             and kernel.get("upsample") is not None
-            and h.shape[0] == 1
+            and _batch_ok(h)
             and h.shape[1] <= 256
         ):
             from qwen3_tts_tpu.ops.pallas.upsample_kernel import (
@@ -58,7 +68,7 @@ def stage_fns(cfg, tail_fused=False, ic_fused=False):
 
     def blocks(params, wav):
         kernel = params.get("kernel")
-        if kernel is not None:
+        if kernel is not None and _batch_ok(wav):
             for kp, block, rate in zip(
                 kernel["blocks"], params["decoder"]["blocks"], cfg.upsample_rates
             ):
@@ -152,7 +162,10 @@ def main():
 
     t = 26 if len(sys.argv) < 2 else int(sys.argv[1])
     b = 1 if len(sys.argv) < 3 else int(sys.argv[2])
-    if b > 1 or "plain" in sys.argv[3:]:
+    if "fusedbatch" in sys.argv[3:]:
+        # measure the kernels AT batch (decode_frames' A/B knob)
+        os.environ["QWEN3TTS_VOCODER_KERNEL_BATCH"] = "1"
+    elif b > 1 or "plain" in sys.argv[3:]:
         # serving batch (or explicit "plain" A/B arm): decode_frames gates
         # the kernels off at B>1 (they lose to XLA's batched convs there) —
         # drop the subtree so the prefix graphs measure that path
@@ -162,7 +175,7 @@ def main():
         cfg,
         tail_fused=kern is not None and "t_w" in kern["blocks"][-1],
         ic_fused=(
-            b == 1
+            (b == 1 or os.environ.get("QWEN3TTS_VOCODER_KERNEL_BATCH") == "1")
             and t <= 256
             and kern is not None
             and kern.get("upsample") is not None
