@@ -142,6 +142,8 @@ def _stage_kernel(*refs, cd, names):
     def sh(a, k):  # rows shifted down k (causal zeros enter at the top)
         if k == 0:
             return a
+        if k >= t:  # very short chunks (T<=3): every row shifts out
+            return jnp.zeros((t, c), jnp.float32)
         return jnp.concatenate([jnp.zeros((k, c), jnp.float32), a[:-k]], axis=0)
 
     dw = [p["dw"][i : i + 1] for i in range(7)]

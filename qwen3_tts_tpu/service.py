@@ -214,6 +214,13 @@ class TTSService:
             seed=seed if seed is not None else n,
         )
         self._inbox.put(req)
+        if self._stop.is_set():
+            # close() raced the put: the worker may already have done its
+            # final inbox drain, so nobody would ever consume this request.
+            # Push the error directly — if the worker's drain ALSO sees it,
+            # the duplicate exception item is harmless (consumers stop at
+            # the first one).
+            req._push(ServiceClosed("service is shut down"))
         return req
 
     def close(self, timeout: float = 30.0) -> None:
@@ -276,6 +283,10 @@ class TTSService:
 
         slots = [_SlotView() for _ in range(b)]
         backlog: deque[TTSRequest] = deque()
+        # requests released from their slot whose final chunk has not been
+        # pushed yet (it is produced by the batched-vocode loop below); the
+        # crash handler must fail these too or their consumers hang
+        finishing: list[TTSRequest] = []
         temps = np.full((b,), 1.0, np.float32)
         state = None
         pending = None  # lazy (frames, counts, eos, state) of chunk `it`
@@ -360,9 +371,13 @@ class TTSService:
                     if req.cancelled:
                         finish(req)
                         continue
-                    fresh = self._prefill(req)  # queues behind the chunk
+                    # claim the slot BEFORE prefill: if prefill raises, the
+                    # crash handler finds the request in `slots` and fails
+                    # its stream instead of orphaning it (consumer would
+                    # block forever on a queue nobody ever feeds)
                     temps[slot] = req.temperature
                     slots[slot].req = req
+                    fresh = self._prefill(req)  # queues behind the chunk
                     if state is None:
                         bootstrap[slot] = fresh
                         slots[slot].active_from = 0
@@ -440,6 +455,7 @@ class TTSService:
                             req.buf = None
                         else:
                             rows.append((req, None, 0, 0, None, True))
+                        finishing.append(req)
                         sv.req = None
                         if not bool(eos_np[slot]):
                             ops.append(("park", slot))
@@ -469,8 +485,11 @@ class TTSService:
                                 is_final=final,
                             )
                         )
+                        if final and req in finishing:
+                            finishing.remove(req)
                 for req in empty_finals:
                     finish(req)
+                finishing.clear()
                 it += 1
         except Exception as e:  # propagate to every waiting consumer
             err = e if isinstance(e, ServiceClosed) else ServiceClosed(
@@ -484,6 +503,9 @@ class TTSService:
                 if sv.req is not None:
                     sv.req._push(err)
                     sv.req = None
+            for req in finishing:
+                req._push(err)
+            finishing.clear()
             for req in backlog:
                 req._push(err)
             if isinstance(e, ServiceClosed):

@@ -47,7 +47,10 @@ step overlap         python scripts/exp_overlap_talker_cp.py
 step service_ttfa    python scripts/exp_service_ttfa.py
 
 # 4. full bench capture (always last: longest, and its numbers are the
-#    round's record). The bench arms its own watchdog.
-step bench           python bench.py
+#    round's record). The bench arms its own watchdog
+#    (QWEN3TTS_BENCH_DEADLINE, default 2700 s) which force-emits the JSON
+#    line on a wedge — the outer step timeout must be LARGER than that
+#    deadline or we SIGTERM the bench before its watchdog can emit.
+STEP_TIMEOUT=3300 step bench python bench.py
 
 echo "campaign complete: $(ls "$OUT")"

@@ -51,7 +51,13 @@ def ref_stage(stage, x):
     return convnext_block(stage["convnext"], h)
 
 
-@pytest.mark.parametrize("c,t,b", [(128, 26, 1), (256, 53, 2), (128, 8, 1)])
+@pytest.mark.parametrize(
+    "c,t,b",
+    [(128, 26, 1), (256, 53, 2), (128, 8, 1),
+     # near-instant EOS utterances: T <= 3 shifts every row out of some
+     # taps — sh() must truncate to T rows, not emit a (k, C) block
+     (128, 1, 1), (128, 2, 1), (128, 3, 1)],
+)
 def test_upsample_stage_parity(c, t, b):
     key = jax.random.PRNGKey(c + t)
     stage = make_stage(key, c)
