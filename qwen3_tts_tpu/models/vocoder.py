@@ -286,10 +286,12 @@ def _warn_pretransformer_fallback(t: int) -> None:
     """Once per chunk length (trace-time: shapes are static under jit)."""
     import warnings
 
+    from ..ops.pallas.pretransformer_kernel import PACKED_T_CAP
+
     warnings.warn(
         f"vocoder pre-transformer Pallas kernel disabled for chunk length "
-        f"T={t} > 128 (its (nh*T)^2 fp32 score intermediates exceed the v5e "
-        f"VMEM budget); falling back to the XLA path. Large "
+        f"T={t} > {PACKED_T_CAP} (even the strip-tiled scores exceed the "
+        f"v5e VMEM budget); falling back to the XLA path. Large "
         f"QWEN3TTS_DECODE_CHUNK_SIZE overrides trade kernel speedup for "
         f"fewer dispatches.",
         RuntimeWarning,
@@ -333,16 +335,17 @@ def decode_frames(
     # ops/pallas/pretransformer_kernel.py::pre_transformer_packed) wins at
     # every chunk length measured on v5e (the old per-head variant lost past
     # T=64); the (batch, layer) grid still refetches each layer's weight
-    # block per batch row — single-stream (B=1) only. T is capped at 128:
-    # the kernel's (nh*T)^2 f32 score/softmax intermediates grow
-    # quadratically (~48 MB each at T=210) and exceed the 127 MB VMEM
-    # budget for large QWEN3TTS_DECODE_CHUNK_SIZE overrides — beyond the
-    # cap the jnp path takes over.
+    # block per batch row — single-stream (B=1) only. Past nh*T = 2048 the
+    # quadratic score/softmax intermediate runs in row STRIPS, lifting the
+    # old T<=128 cap to PACKED_T_CAP (=512); only beyond that does the jnp
+    # path take over.
+    from ..ops.pallas.pretransformer_kernel import PACKED_T_CAP
+
     if (
         kernel is not None
         and kernel.get("pre_transformer") is not None
         and codes.shape[0] == 1
-        and codes.shape[2] > 128
+        and codes.shape[2] > PACKED_T_CAP
     ):
         # surface the fallback instead of silently dropping the kernel for
         # large QWEN3TTS_DECODE_CHUNK_SIZE overrides (VERDICT r3 weak item 6)
@@ -351,7 +354,7 @@ def decode_frames(
         kernel is not None
         and kernel.get("pre_transformer") is not None
         and codes.shape[0] == 1
-        and codes.shape[2] <= 128
+        and codes.shape[2] <= PACKED_T_CAP
     ):
         from ..ops.pallas.pretransformer_kernel import pre_transformer_packed
 
@@ -395,7 +398,7 @@ def decode_frames(
     # Fused SEANet blocks win single-stream (B=1 T=96: 16.9 ms vs 22.6 plain
     # on v5e) but lose at serving batch (B=32 T=48: 253 vs 189) where XLA's
     # batched convs amortize — B=1 only.
-    if kernel is not None and batch_ok:
+    if kernel is not None and kernel.get("blocks") is not None and batch_ok:
         from ..ops.pallas.vocoder_kernels import seanet_block_fused
 
         for kp, block, rate in zip(
