@@ -334,17 +334,26 @@ def decode_frames(
     # The head-PACKED mega-kernel (scores/AV as two large stacked matmuls,
     # ops/pallas/pretransformer_kernel.py::pre_transformer_packed) wins at
     # every chunk length measured on v5e (the old per-head variant lost past
-    # T=64); the (batch, layer) grid still refetches each layer's weight
-    # block per batch row — single-stream (B=1) only. Past nh*T = 2048 the
-    # quadratic score/softmax intermediate runs in row STRIPS, lifting the
-    # old T<=128 cap to PACKED_T_CAP (=512); only beyond that does the jnp
-    # path take over.
+    # T=64). Its (layer, batch-innermost) grid fetches each layer's weight
+    # block once and reuses it across batch rows, so B>1 is structurally
+    # fine — but it stays behind the same QWEN3TTS_VOCODER_KERNEL_BATCH A/B
+    # knob as the other kernels until it measures a win at serving batch.
+    # Past nh*T = 2048 the quadratic score/softmax intermediate runs in row
+    # STRIPS, lifting the old T<=128 cap to PACKED_T_CAP (=512); only beyond
+    # that (or past the B*T residual-scratch cap) does the jnp path take
+    # over.
     from ..ops.pallas.pretransformer_kernel import PACKED_T_CAP
 
+    pt_shape_ok = (
+        codes.shape[2] <= PACKED_T_CAP
+        # residual scratch + whole-array in/out blocks live in VMEM: cap
+        # total B*T_pad rows (serving B=32 T=48 -> 1536; B=1 cap -> 512)
+        and codes.shape[0] * (-(-codes.shape[2] // 8) * 8) <= 4096
+    )
     if (
         kernel is not None
         and kernel.get("pre_transformer") is not None
-        and codes.shape[0] == 1
+        and batch_ok
         and codes.shape[2] > PACKED_T_CAP
     ):
         # surface the fallback instead of silently dropping the kernel for
@@ -353,8 +362,8 @@ def decode_frames(
     if (
         kernel is not None
         and kernel.get("pre_transformer") is not None
-        and codes.shape[0] == 1
-        and codes.shape[2] <= PACKED_T_CAP
+        and batch_ok
+        and pt_shape_ok
     ):
         from ..ops.pallas.pretransformer_kernel import pre_transformer_packed
 

@@ -206,9 +206,17 @@ def _kernel_packed(
     cos, sin, wi, bi, ln1, wq, wk, wv, rotm, wo,
     lsa, ln2, wg, wu, wd, lsm, fnorm, wout, bout,
     x_ref, out_ref, x_s, q_s, k_s, v_s, o_s,
-    *, nl, nh, hdp, eps, cd,
+    *, nl, nh, hdp, eps, cd, tp,
 ):
-    l = pl.program_id(1)
+    # Grid is (layer, batch) with batch INNERMOST: per-layer weight blocks
+    # keep the same block index across consecutive b steps, so Mosaic's
+    # pipeline fetches each layer's weights ONCE per layer instead of once
+    # per (batch, layer) — the change that makes B>1 viable (the r3 form
+    # refetched ~8 MB/layer per batch row). The residual stream for ALL
+    # batch rows lives in x_s [bsz*tp, h]; everything below operates on
+    # this step's row slice.
+    l = pl.program_id(0)
+    b = pl.program_id(1)
 
     def dot(a, b):
         return jax.lax.dot_general(
@@ -224,10 +232,9 @@ def _kernel_packed(
 
     @pl.when(l == 0)
     def _():
-        x_s[:] = dot(x_ref[0], wi[:]) + bi[:]
+        x_s[pl.ds(b * tp, tp), :] = dot(x_ref[b], wi[:]) + bi[:]
 
-    h = x_s[:]  # (tp, h) fp32
-    tp = h.shape[0]
+    h = x_s[pl.ds(b * tp, tp), :]  # (tp, h) fp32
     scale = 1.0 / float(hdp // 2) ** 0.5  # real head dim = hdp//2 (pad x2)
 
     xin = _rms(h, ln1[0], eps)
@@ -270,12 +277,12 @@ def _kernel_packed(
     u = dot(x2, wu[0])
     m = dot(jax.nn.silu(g) * u, wd[0])
     h = h + lsm[0] * m
-    x_s[:] = h
+    x_s[pl.ds(b * tp, tp), :] = h
 
     @pl.when(l == nl - 1)
     def _():
         hf = _rms(h, fnorm[:], eps)
-        out_ref[0] = (dot(hf, wout[:]) + bout[:]).astype(out_ref.dtype)
+        out_ref[b] = (dot(hf, wout[:]) + bout[:]).astype(out_ref.dtype)
 
 
 def build_pretransformer_packed_params_device(
@@ -374,31 +381,37 @@ def pre_transformer_packed(
         if name in _PER_LAYER:
             return pl.BlockSpec(
                 (1,) + shp[1:],
-                lambda b, l, _n=len(shp): (l,) + (0,) * (_n - 1),
+                lambda l, b, _n=len(shp): (l,) + (0,) * (_n - 1),
                 memory_space=pltpu.VMEM,
             )
         return pl.BlockSpec(
-            shp, lambda b, l, _n=len(shp): (0,) * _n, memory_space=pltpu.VMEM
+            shp, lambda l, b, _n=len(shp): (0,) * _n, memory_space=pltpu.VMEM
         )
 
     kernel = functools.partial(
-        _kernel_packed, nl=nl, nh=nh, hdp=hdp, eps=eps, cd=compute_dtype
+        _kernel_packed, nl=nl, nh=nh, hdp=hdp, eps=eps, cd=compute_dtype, tp=tp
     )
+    # batch INNERMOST so consecutive steps share each layer's weight block
+    # (see _kernel_packed); the residual scratch holds every batch row.
+    # x/out are whole-array blocks with a CONSTANT index (fetched/flushed
+    # once — a per-b out block would be revisited non-consecutively, which
+    # the Pallas pipeline forbids); the kernel indexes their leading dim.
     out = pl.pallas_call(
         kernel,
-        grid=(bsz, nl),
+        grid=(nl, bsz),
         in_specs=[
             *(spec(name) for name in _PARAMS),
             pl.BlockSpec(
-                (1, tp, latent), lambda b, l: (b, 0, 0), memory_space=pltpu.VMEM
+                (bsz, tp, latent), lambda l, b: (0, 0, 0),
+                memory_space=pltpu.VMEM,
             ),
         ],
         out_specs=pl.BlockSpec(
-            (1, tp, latent), lambda b, l: (b, 0, 0), memory_space=pltpu.VMEM
+            (bsz, tp, latent), lambda l, b: (0, 0, 0), memory_space=pltpu.VMEM
         ),
         out_shape=jax.ShapeDtypeStruct((bsz, tp, latent), x.dtype),
         scratch_shapes=[
-            pltpu.VMEM((tp, h), jnp.float32),
+            pltpu.VMEM((bsz * tp, h), jnp.float32),
             pltpu.VMEM((nh * tp, hdp), jnp.float32),
             pltpu.VMEM((nh * tp, hdp), jnp.float32),
             pltpu.VMEM((nh * tp, hdp), jnp.float32),

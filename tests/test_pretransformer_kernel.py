@@ -158,6 +158,31 @@ def test_decode_frames_packed_gate():
         assert [w for w in rec if f"> {PACKED_T_CAP}" in str(w.message)]
 
 
+def test_decode_frames_batched_packed_routing(monkeypatch):
+    """With QWEN3TTS_VOCODER_KERNEL_BATCH=1 a B>1 decode routes the
+    pre-transformer through the packed kernel (layer-outer grid, weights
+    fetched once per layer) and matches the jnp path."""
+    from qwen3_tts_tpu.ops.pallas.pretransformer_kernel import (
+        build_pretransformer_packed_params_device,
+    )
+
+    monkeypatch.setenv("QWEN3TTS_VOCODER_KERNEL_BATCH", "1")
+    params = _params()
+    codes = jax.random.randint(
+        jax.random.PRNGKey(5), (3, CFG.num_quantizers, 11), 0, CFG.codebook_size
+    )
+    ref = voc.decode_frames(params, codes, CFG)
+    kern = {"pre_transformer": build_pretransformer_packed_params_device(
+        params["pre_transformer"], CFG, weight_dtype=jnp.float32)}
+    got = voc.decode_frames(
+        dict(params, kernel=kern), codes, CFG,
+        kernel_compute_dtype=jnp.float32, kernel_interpret=True,
+    )
+    np.testing.assert_allclose(
+        np.asarray(got), np.asarray(ref), atol=3e-5, rtol=3e-5
+    )
+
+
 @pytest.mark.parametrize("t,b", [(7, 1), (26, 2), (96, 1), (1, 1)])
 def test_packed_matches_jnp(t, b):
     """Head-packed variant (two big stacked matmuls for scores/AV) matches
