@@ -320,14 +320,14 @@ def decode_frames(
     # The fused kernels default to single-stream (B=1): at serving batch the
     # SEANet kernels measured slower than XLA's batched convs (B=32 T=48:
     # 253 vs 189 ms). QWEN3TTS_VOCODER_KERNEL_BATCH=1 lifts the B=1 gate on
-    # the upsample + SEANet kernels for A/B measurement (the pre-transformer
-    # kernel is structurally single-stream).
+    # every kernel for A/B measurement; =pt lifts ONLY the pre-transformer
+    # (its layer-outer grid makes batch viable — measure it without the
+    # known-losing batched SEANet arms in the same run).
     import os
 
-    batch_ok = (
-        codes.shape[0] == 1
-        or os.environ.get("QWEN3TTS_VOCODER_KERNEL_BATCH") == "1"
-    )
+    _kb = os.environ.get("QWEN3TTS_VOCODER_KERNEL_BATCH")
+    batch_ok = codes.shape[0] == 1 or _kb == "1"
+    pt_batch_ok = batch_ok or _kb == "pt"
     h = rvq_decode(params["quantizer"], codes)            # [B, T, 512]
     h = causal_conv1d(params["pre_conv"], h)              # [B, T, 1024]
     kernel = params.get("kernel")
@@ -353,7 +353,7 @@ def decode_frames(
     if (
         kernel is not None
         and kernel.get("pre_transformer") is not None
-        and batch_ok
+        and pt_batch_ok
         and codes.shape[2] > PACKED_T_CAP
     ):
         # surface the fallback instead of silently dropping the kernel for
@@ -362,7 +362,7 @@ def decode_frames(
     if (
         kernel is not None
         and kernel.get("pre_transformer") is not None
-        and batch_ok
+        and pt_batch_ok
         and pt_shape_ok
     ):
         from ..ops.pallas.pretransformer_kernel import pre_transformer_packed

@@ -45,6 +45,14 @@ def stage_fns(cfg, tail_fused=False, ic_fused=False):
             or os.environ.get("QWEN3TTS_VOCODER_KERNEL_BATCH") == "1"
         )
 
+    def _pt_batch_ok(x):
+        # mirror decode_frames: =pt lifts only the pre-transformer gate
+        import os
+
+        return _batch_ok(x) or os.environ.get(
+            "QWEN3TTS_VOCODER_KERNEL_BATCH"
+        ) == "pt"
+
     def up(params, h):
         # mirror decode_frames: fused stages at B=1 (or knob), T<=256
         kernel = params.get("kernel")
@@ -85,13 +93,16 @@ def stage_fns(cfg, tail_fused=False, ic_fused=False):
 
     def pt(params, h):
         # mirror decode_frames: the head-packed kernel is the production
-        # path at B=1, T<=128 (models/vocoder.py)
+        # path at T<=PACKED_T_CAP, B gated by pt_batch_ok (models/vocoder.py)
+        from qwen3_tts_tpu.ops.pallas.pretransformer_kernel import PACKED_T_CAP
+
         kernel = params.get("kernel")
         if (
             kernel is not None
             and kernel.get("pre_transformer") is not None
-            and h.shape[0] == 1
-            and h.shape[1] <= 128
+            and _pt_batch_ok(h)
+            and h.shape[1] <= PACKED_T_CAP
+            and h.shape[0] * (-(-h.shape[1] // 8) * 8) <= 4096
         ):
             from qwen3_tts_tpu.ops.pallas.pretransformer_kernel import (
                 pre_transformer_packed,
@@ -165,6 +176,9 @@ def main():
     if "fusedbatch" in sys.argv[3:]:
         # measure the kernels AT batch (decode_frames' A/B knob)
         os.environ["QWEN3TTS_VOCODER_KERNEL_BATCH"] = "1"
+    elif "ptbatch" in sys.argv[3:]:
+        # batched pre-transformer kernel only; SEANet/upsample stay plain
+        os.environ["QWEN3TTS_VOCODER_KERNEL_BATCH"] = "pt"
     elif b > 1 or "plain" in sys.argv[3:]:
         # serving batch (or explicit "plain" A/B arm): decode_frames gates
         # the kernels off at B>1 (they lose to XLA's batched convs there) —
@@ -173,7 +187,13 @@ def main():
     kern = params.get("kernel")
     fns = stage_fns(
         cfg,
-        tail_fused=kern is not None and "t_w" in kern["blocks"][-1],
+        # tail fusion only applies when the SEANet kernel path is taken
+        # (B=1 or the full batch knob — NOT the pt-only arm)
+        tail_fused=(
+            (b == 1 or os.environ.get("QWEN3TTS_VOCODER_KERNEL_BATCH") == "1")
+            and kern is not None
+            and "t_w" in kern["blocks"][-1]
+        ),
         ic_fused=(
             (b == 1 or os.environ.get("QWEN3TTS_VOCODER_KERNEL_BATCH") == "1")
             and t <= 256

@@ -39,6 +39,10 @@ step voc_t106_onehot env QWEN3TTS_RVQ_ONEHOT=1 python scripts/exp_vocoder_stages
 step voc_b32_plain   python scripts/exp_vocoder_stages2.py 48 32
 step voc_b32_kernels env QWEN3TTS_VOCODER_KERNEL_BATCH=1 QWEN3TTS_RVQ_ONEHOT=1 \
                      python scripts/exp_vocoder_stages2.py 48 32 fusedbatch
+# pre-transformer-only batch arm: its layer-outer grid reuses weights
+# across batch rows; measure it WITHOUT the known-losing batched SEANet
+step voc_b32_pt      env QWEN3TTS_VOCODER_KERNEL_BATCH=pt \
+                     python scripts/exp_vocoder_stages2.py 48 32 ptbatch
 
 # 2. talker/cp overlap headroom (headline RTF lever)
 step overlap         python scripts/exp_overlap_talker_cp.py
