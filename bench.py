@@ -653,6 +653,39 @@ def run_all(out: dict) -> None:
         out["vs_baseline"] = round(headline / BASELINE_RTF, 4)
 
 
+_EMIT_ONCE = None  # threading.Lock-guarded once-flag; set by _emit_line
+
+
+def _emit_line(out: dict) -> bool:
+    """Print the bench JSON line exactly once, whichever of the main thread
+    or the watchdog gets here first (they can race when the deadline fires
+    just as the run completes — the parse contract is ONE line). json.dumps
+    over a dict the main thread may still be mutating can raise
+    'dictionary changed size during iteration'; retry on a shallow snapshot
+    and degrade to the bare headline fields rather than dying silently."""
+    import threading
+
+    global _EMIT_ONCE
+    if _EMIT_ONCE is None:
+        _EMIT_ONCE = [threading.Lock(), False]
+    lock, _ = _EMIT_ONCE
+    with lock:
+        if _EMIT_ONCE[1]:
+            return False
+        _EMIT_ONCE[1] = True
+    for attempt in (out, dict(out, aux=dict(out.get("aux") or {})), {
+        "metric": out.get("metric"), "value": out.get("value"),
+        "unit": out.get("unit"), "vs_baseline": out.get("vs_baseline"),
+        "error": out.get("error", "aux unserializable during watchdog fire"),
+    }):
+        try:
+            print(json.dumps(attempt), flush=True)
+            return True
+        except (RuntimeError, TypeError, ValueError):
+            continue
+    return True
+
+
 def _arm_watchdog(out: dict, seconds: int):
     """Last-resort hang containment: if run_all wedges anywhere the process
     cannot be interrupted from (device op stuck in C, remote compile stuck),
@@ -664,7 +697,7 @@ def _arm_watchdog(out: dict, seconds: int):
         out.setdefault(
             "error", f"watchdog: bench exceeded {seconds}s; partial aux only"
         )
-        print(json.dumps(out), flush=True)
+        _emit_line(out)
         os._exit(0)
 
     t = threading.Timer(seconds, fire)
@@ -691,7 +724,7 @@ def main() -> None:
         out["error"] = f"{type(e).__name__}: {e}"[:500]
         traceback.print_exc(file=sys.stderr)
     watchdog.cancel()
-    print(json.dumps(out), flush=True)
+    _emit_line(out)
 
 
 if __name__ == "__main__":

@@ -283,9 +283,13 @@ class Qwen3Tokenizer:
             del word[best_idx + 1]
 
         if len(self._cache) >= self._MAX_CACHE:
-            # Drop half the cache (reference Qwen3Tokenizer.swift:366-371)
+            # Drop half the cache (reference Qwen3Tokenizer.swift:366-371).
+            # encode() may run on many threads at once (TTSService.submit
+            # tokenizes on the caller's thread) — two threads can race this
+            # eviction with overlapping key snapshots, so deletion must
+            # tolerate already-evicted keys (pop, not del).
             for key in list(self._cache.keys())[: self._MAX_CACHE // 2]:
-                del self._cache[key]
+                self._cache.pop(key, None)
         self._cache[token] = word
         return word
 

@@ -282,21 +282,55 @@ def _residual_unit(params: dict, x: jax.Array, dilation: int) -> jax.Array:
 
 
 @functools.lru_cache(maxsize=None)
-def _warn_pretransformer_fallback(t: int) -> None:
-    """Once per chunk length (trace-time: shapes are static under jit)."""
+def _warn_pretransformer_fallback(b: int, t: int) -> None:
+    """Once per (batch, chunk length) — trace-time: shapes are static under
+    jit. Fires on EVERY silent kernel drop (T past the cap OR the B*T_pad
+    VMEM rows cap), so an A/B run never mistakes plain-path numbers for
+    kernel numbers."""
     import warnings
 
     from ..ops.pallas.pretransformer_kernel import PACKED_T_CAP
 
+    if t > PACKED_T_CAP:
+        reason = (
+            f"chunk length T={t} > {PACKED_T_CAP} (even the strip-tiled "
+            f"scores exceed the v5e VMEM budget)"
+        )
+    else:
+        reason = (
+            f"B={b}, T={t} exceeds the B*T_pad<=4096 VMEM residual-scratch "
+            f"cap"
+        )
     warnings.warn(
-        f"vocoder pre-transformer Pallas kernel disabled for chunk length "
-        f"T={t} > {PACKED_T_CAP} (even the strip-tiled scores exceed the "
-        f"v5e VMEM budget); falling back to the XLA path. Large "
-        f"QWEN3TTS_DECODE_CHUNK_SIZE overrides trade kernel speedup for "
-        f"fewer dispatches.",
+        f"vocoder pre-transformer Pallas kernel disabled: {reason}; falling "
+        f"back to the XLA path. Large QWEN3TTS_DECODE_CHUNK_SIZE overrides "
+        f"trade kernel speedup for fewer dispatches.",
         RuntimeWarning,
         stacklevel=3,
     )
+
+
+def vocoder_kernel_batch_flags(b: int) -> tuple[bool, bool]:
+    """(batch_ok, pt_batch_ok) for a batch-B chunk per the
+    QWEN3TTS_VOCODER_KERNEL_BATCH A/B knob: unset -> kernels at B=1 only;
+    =1 -> every kernel at any B; =pt -> only the pre-transformer at B>1.
+    Shared by decode_frames and scripts/exp_vocoder_stages2.py so the
+    measurement script cannot drift from the production gates."""
+    import os
+
+    kb = os.environ.get("QWEN3TTS_VOCODER_KERNEL_BATCH")
+    batch_ok = b == 1 or kb == "1"
+    return batch_ok, batch_ok or kb == "pt"
+
+
+def pt_kernel_shape_ok(b: int, t: int) -> bool:
+    """Whether the packed pre-transformer kernel accepts a [B, nq, T] chunk:
+    T within the strip-tiled cap AND total B*T_pad rows within the VMEM
+    residual-scratch budget (serving B=32 T=48 -> 1536 rows; B=1 at the T
+    cap -> 512)."""
+    from ..ops.pallas.pretransformer_kernel import PACKED_T_CAP
+
+    return t <= PACKED_T_CAP and b * (-(-t // 8) * 8) <= 4096
 
 
 def decode_frames(
@@ -323,11 +357,7 @@ def decode_frames(
     # every kernel for A/B measurement; =pt lifts ONLY the pre-transformer
     # (its layer-outer grid makes batch viable — measure it without the
     # known-losing batched SEANet arms in the same run).
-    import os
-
-    _kb = os.environ.get("QWEN3TTS_VOCODER_KERNEL_BATCH")
-    batch_ok = codes.shape[0] == 1 or _kb == "1"
-    pt_batch_ok = batch_ok or _kb == "pt"
+    batch_ok, pt_batch_ok = vocoder_kernel_batch_flags(codes.shape[0])
     h = rvq_decode(params["quantizer"], codes)            # [B, T, 512]
     h = causal_conv1d(params["pre_conv"], h)              # [B, T, 1024]
     kernel = params.get("kernel")
@@ -342,23 +372,18 @@ def decode_frames(
     # STRIPS, lifting the old T<=128 cap to PACKED_T_CAP (=512); only beyond
     # that (or past the B*T residual-scratch cap) does the jnp path take
     # over.
-    from ..ops.pallas.pretransformer_kernel import PACKED_T_CAP
-
-    pt_shape_ok = (
-        codes.shape[2] <= PACKED_T_CAP
-        # residual scratch + whole-array in/out blocks live in VMEM: cap
-        # total B*T_pad rows (serving B=32 T=48 -> 1536; B=1 cap -> 512)
-        and codes.shape[0] * (-(-codes.shape[2] // 8) * 8) <= 4096
-    )
+    pt_shape_ok = pt_kernel_shape_ok(codes.shape[0], codes.shape[2])
     if (
         kernel is not None
         and kernel.get("pre_transformer") is not None
         and pt_batch_ok
-        and codes.shape[2] > PACKED_T_CAP
+        and not pt_shape_ok
     ):
-        # surface the fallback instead of silently dropping the kernel for
-        # large QWEN3TTS_DECODE_CHUNK_SIZE overrides (VERDICT r3 weak item 6)
-        _warn_pretransformer_fallback(int(codes.shape[2]))
+        # surface EVERY silent drop (T past the cap or the B*T_pad rows
+        # cap) instead of quietly taking the XLA path (VERDICT r3 weak
+        # item 6): an A/B run must never mistake plain numbers for kernel
+        # numbers
+        _warn_pretransformer_fallback(int(codes.shape[0]), int(codes.shape[2]))
     if (
         kernel is not None
         and kernel.get("pre_transformer") is not None

@@ -195,11 +195,15 @@ def build_pretransformer_kernel_params_device(
 # strip — the formulation (and compiled graph) is the measured r3 one.
 
 # Largest chunk length decode_frames routes to this kernel. VMEM at the cap
-# (T=512, real dims, nrows=8192): q/k/v/o scratches 16 MB + 8 MB score
+# (T=512, real dims, nrows=8192): q/k/v/o scratches ~8 MB + 16 MB score
 # strip (x2-3 live) + ~11 MB/layer bf16 weights double-buffered —
-# comfortably inside the 127 MB budget, at 32 unrolled strip iterations.
+# comfortably inside the 127 MB budget, at 16 unrolled strip iterations.
 PACKED_T_CAP = 512
-_STRIP_BYTES = 1 << 22  # 4 MiB of fp32 rows per score strip (x cols/1024)
+# Per-strip fp32 score bytes (rk * nrows * 4 <= this). 16 MiB keeps a
+# SINGLE strip through nrows = nh*T_pad = 2048 — i.e. every chunk length
+# up to the old T<=128 cap, including the production default (T=110,
+# nrows=1792), compiles the exact graph the r3 numbers were measured on.
+_STRIP_BYTES = 1 << 24
 
 
 def _kernel_packed(

@@ -157,9 +157,23 @@ def make_handler(pipeline: Qwen3TTSPipeline, service=None):
             kwargs = _gen_kwargs(req)
             speaker = req.get("speaker", "")
             if service is not None:
+                from .service import ServiceClosed
+
                 try:
                     self._tts_service(text, speaker, kwargs, stream)
                     return
+                except ServiceClosed:
+                    # the worker exhausted its restarts (or a shutdown raced
+                    # this submit): the continuous batch is gone for good,
+                    # but the legacy one-at-a-time lock path still works —
+                    # degrade to it instead of 500ing every future request
+                    if not getattr(Handler, "_svc_degraded", False):
+                        Handler._svc_degraded = True
+                        print(
+                            "tts service unavailable; degrading to the "
+                            "serialized lock path",
+                            file=sys.stderr, flush=True,
+                        )
                 except ValueError as e:
                     if "exceeds service buckets" not in str(e):
                         raise

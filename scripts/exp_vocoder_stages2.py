@@ -37,21 +37,11 @@ def stage_fns(cfg, tail_fused=False, ic_fused=False):
     """Ordered (name, fn) where each fn advances the carried activation."""
 
     def _batch_ok(x):
-        # mirror decode_frames: B=1, or the A/B batch knob
-        import os
-
-        return (
-            x.shape[0] == 1
-            or os.environ.get("QWEN3TTS_VOCODER_KERNEL_BATCH") == "1"
-        )
+        # decode_frames' own gate predicates — no drift
+        return voc.vocoder_kernel_batch_flags(x.shape[0])[0]
 
     def _pt_batch_ok(x):
-        # mirror decode_frames: =pt lifts only the pre-transformer gate
-        import os
-
-        return _batch_ok(x) or os.environ.get(
-            "QWEN3TTS_VOCODER_KERNEL_BATCH"
-        ) == "pt"
+        return voc.vocoder_kernel_batch_flags(x.shape[0])[1]
 
     def up(params, h):
         # mirror decode_frames: fused stages at B=1 (or knob), T<=256
@@ -92,17 +82,13 @@ def stage_fns(cfg, tail_fused=False, ic_fused=False):
         return wav
 
     def pt(params, h):
-        # mirror decode_frames: the head-packed kernel is the production
-        # path at T<=PACKED_T_CAP, B gated by pt_batch_ok (models/vocoder.py)
-        from qwen3_tts_tpu.ops.pallas.pretransformer_kernel import PACKED_T_CAP
-
+        # decode_frames' own routing predicates (models/vocoder.py)
         kernel = params.get("kernel")
         if (
             kernel is not None
             and kernel.get("pre_transformer") is not None
             and _pt_batch_ok(h)
-            and h.shape[1] <= PACKED_T_CAP
-            and h.shape[0] * (-(-h.shape[1] // 8) * 8) <= 4096
+            and voc.pt_kernel_shape_ok(h.shape[0], h.shape[1])
         ):
             from qwen3_tts_tpu.ops.pallas.pretransformer_kernel import (
                 pre_transformer_packed,

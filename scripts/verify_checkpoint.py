@@ -76,13 +76,11 @@ def main() -> int:
     )
     if args.golden:
         golden = verify.load_golden(args.golden)
-        # the golden's recorded settings win so reports stay comparable
-        kwargs = dict(
-            text=golden.get("text", args.text),
-            speaker=golden.get("speaker", args.speaker),
-            max_tokens=golden.get("max_tokens", args.max_tokens),
-            seed=golden.get("seed", args.seed),
-        )
+        # the golden's recorded settings win so reports stay comparable; a
+        # hand-assembled golden (e.g. reference CLI codes slotted into the
+        # frames field) may omit settings — fall back to the CLI-or-default
+        # values already resolved above, never to None
+        kwargs = {k: golden.get(k, kwargs[k]) for k in kwargs}
     report = verify.collect_report(
         args.model_dir, production=args.production, **kwargs
     )

@@ -157,6 +157,29 @@ def test_decode_frames_packed_gate():
             pass  # fake subtree never reaches the kernel; the warn already fired
         assert [w for w in rec if f"> {PACKED_T_CAP}" in str(w.message)]
 
+    # the B*T_pad rows cap must ALSO warn (not silently drop the kernel):
+    # B=9 x T_pad 512 = 4608 > 4096 while T stays within the cap
+    voc._warn_pretransformer_fallback.cache_clear()
+    assert not voc.pt_kernel_shape_ok(9, PACKED_T_CAP)
+    wide = jax.random.randint(
+        jax.random.PRNGKey(6), (9, CFG.num_quantizers, PACKED_T_CAP), 0,
+        CFG.codebook_size,
+    )
+    with warnings.catch_warnings(record=True) as rec:
+        warnings.simplefilter("always")
+        monkeypatch_env = __import__("os").environ
+        monkeypatch_env["QWEN3TTS_VOCODER_KERNEL_BATCH"] = "pt"
+        try:
+            voc.decode_frames(
+                dict(params, kernel={"pre_transformer": object()}), wide, CFG,
+                kernel_interpret=True,
+            )
+        except Exception:
+            pass
+        finally:
+            monkeypatch_env.pop("QWEN3TTS_VOCODER_KERNEL_BATCH", None)
+        assert [w for w in rec if "residual-scratch cap" in str(w.message)]
+
 
 def test_decode_frames_batched_packed_routing(monkeypatch):
     """With QWEN3TTS_VOCODER_KERNEL_BATCH=1 a B>1 decode routes the
