@@ -299,3 +299,32 @@ def test_stream_error_mid_stream_truncates_body():
         conn.close()
     finally:
         httpd.shutdown()
+
+
+@pytest.mark.slow
+def test_dead_service_degrades_to_lock_path(tmp_path):
+    """When the continuous-batching worker is gone for good (restarts
+    exhausted / shutdown), /tts must fall back to the serialized legacy
+    path instead of 500ing every future request."""
+    d = str(tmp_path / "m")
+    write_tiny_model_dir(d)
+    pipeline = Qwen3TTSPipeline(d, dtype=jnp.float32)
+    httpd = serve(pipeline, port=0, batch_size=2, trailing_bucket=128)
+    assert httpd.tts_service is not None
+    port = httpd.server_address[1]
+    try:
+        # kill the service the way exhausted restarts do: stop accepting
+        httpd.tts_service.close()
+        body = json.dumps(
+            {"text": "Degraded but served.", "max_tokens": 6, "seed": 3}
+        )
+        conn = http.client.HTTPConnection("127.0.0.1", port, timeout=300)
+        for stream in ("", "?stream=1"):
+            conn.request("POST", f"/tts{stream}", body=body,
+                         headers={"Content-Type": "application/json"})
+            r = conn.getresponse()
+            wav = r.read()
+            assert r.status == 200, wav
+            assert wav_to_float_samples(wav).size > 0
+    finally:
+        httpd.shutdown()

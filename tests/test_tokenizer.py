@@ -112,3 +112,29 @@ def test_split_regex_contractions():
     )
     ids = tok.encode("I'm fine")
     assert ids == [1, 2, 3]
+
+
+def test_concurrent_bpe_cache_eviction():
+    """TTSService.submit tokenizes on the caller's thread, so encode() runs
+    concurrently; racing cache evictions with overlapping key snapshots must
+    not raise (deletion tolerates already-evicted keys)."""
+    import threading
+
+    tok = make_manual()
+    tok._MAX_CACHE = 8  # force constant eviction
+    words = [f"w{i}" for i in range(64)]
+    errors = []
+
+    def hammer(seed):
+        try:
+            for i in range(300):
+                tok._bpe(words[(seed * 7 + i) % len(words)])
+        except Exception as e:  # pragma: no cover - the bug under test
+            errors.append(e)
+
+    threads = [threading.Thread(target=hammer, args=(s,)) for s in range(8)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    assert not errors, errors
