@@ -43,6 +43,10 @@ step voc_b32_kernels env QWEN3TTS_VOCODER_KERNEL_BATCH=1 QWEN3TTS_RVQ_ONEHOT=1 \
 # across batch rows; measure it WITHOUT the known-losing batched SEANet
 step voc_b32_pt      env QWEN3TTS_VOCODER_KERNEL_BATCH=pt \
                      python scripts/exp_vocoder_stages2.py 48 32 ptbatch
+# strip-tiled regime (T>128 was jnp-only before the cap lift): does the
+# packed kernel still win at a 2x decode-chunk override?
+step voc_t212_fused  python scripts/exp_vocoder_stages2.py 212
+step voc_t212_plain  python scripts/exp_vocoder_stages2.py 212 1 plain
 
 # 2. talker/cp overlap headroom (headline RTF lever)
 step overlap         python scripts/exp_overlap_talker_cp.py
