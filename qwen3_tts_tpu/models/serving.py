@@ -737,12 +737,16 @@ class ContinuousServer:
         state = concat_states(states)
 
         pending_admits: list[tuple[int, dict]] = []
+        pending_parks: list[int] = []
         pending = decode_chunk_serving(
             self.params, self.cp_params, state, temp, self.statics
         )
         it = 0
         while True:
             frames_d, _counts, eos_d, state = pending
+            for slot in pending_parks:
+                state = park_slot(state, jnp.int32(slot))
+            pending_parks = []
             for slot, fresh in pending_admits:
                 state = admit_stream(state, jnp.int32(slot), fresh, self.statics)
             pending_admits = []
@@ -761,7 +765,7 @@ class ContinuousServer:
                 if req is None or it < active_from[slot]:
                     continue  # parked, or admitted stream not yet decoding
                 valid = frames_np[slot][frames_np[slot][:, 0] >= 0]
-                take = min(len(valid), max_tokens - emitted[req])
+                take = max(0, min(len(valid), max_tokens - emitted[req]))
                 valid = valid[:take]
                 emitted[req] += take
                 done = bool(eos_np[slot]) or emitted[req] >= max_tokens
@@ -776,6 +780,13 @@ class ContinuousServer:
                             prompt_datas[new_req], self._seed + new_req
                         )
                         pending_admits.append((slot, fresh))
+                    elif not bool(eos_np[slot]):
+                        # finished via max_tokens without codec EOS and no
+                        # replacement stream: park the row, or the zombie
+                        # keeps costing full decode work (and keeps every
+                        # chunk running all chunk_steps) until the longest
+                        # real stream ends
+                        pending_parks.append(slot)
             yield events
             it += 1
             if pending is None:

@@ -60,6 +60,10 @@ def _gen_kwargs(req: dict) -> dict:
         kwargs["temperature"] = float(req["temperature"])
     if "max_tokens" in req:
         kwargs["max_tokens"] = int(req["max_tokens"])
+        if kwargs["max_tokens"] < 0:
+            # a negative budget would slice frames as valid[:negative] and
+            # EMIT audio downstream — reject at the edge (ValueError -> 400)
+            raise ValueError("max_tokens must be >= 0")
     if "seed" in req:
         kwargs["seed"] = int(req["seed"])
     return kwargs
@@ -106,7 +110,18 @@ def make_handler(pipeline: Qwen3TTSPipeline, service=None):
             if n > MAX_BODY_BYTES:
                 self._send_json(413, {"error": "body too large"})
                 return None
-            return json.loads(self.rfile.read(n) or b"{}")
+            if n < 0:
+                # rfile.read(-1) would read until EOF: unbounded memory and
+                # a pinned thread at the client's pleasure
+                self._send_json(400, {"error": "invalid Content-Length"})
+                return None
+            req = json.loads(self.rfile.read(n) or b"{}")
+            if not isinstance(req, dict):
+                # '[]' / '"hi"' are valid JSON but malformed requests — a
+                # 400, not an AttributeError-turned-500
+                self._send_json(400, {"error": "body must be a JSON object"})
+                return None
+            return req
 
         def _tts_service(self, text: str, speaker: str, kwargs: dict,
                          stream: bool) -> None:
@@ -183,7 +198,11 @@ def make_handler(pipeline: Qwen3TTSPipeline, service=None):
             if not stream:
                 with lock:
                     samples = pipeline.generate(text, speaker, **kwargs)
-                self._send(200, wav_data(np.asarray(samples)), "audio/wav")
+                self._send(
+                    200,
+                    wav_data(np.asarray(samples), pipeline.sample_rate),
+                    "audio/wav",
+                )
                 return
             # Chunked streaming, decoupled from client pace: a producer
             # thread generates under the (global) lock into an unbounded
@@ -232,6 +251,15 @@ def make_handler(pipeline: Qwen3TTSPipeline, service=None):
                 if item is not None:
                     self.close_connection = True
             except (BrokenPipeError, ConnectionResetError):
+                self.close_connection = True
+            except Exception:
+                # any other mid-stream failure: the 200 is committed, so a
+                # second status line (do_POST's 500 JSON) would corrupt the
+                # chunked framing — legally terminate the body instead
+                try:
+                    self.wfile.write(b"0\r\n\r\n")
+                except Exception:
+                    pass
                 self.close_connection = True
             finally:
                 stop.set()  # abort generation if the client went away
@@ -307,7 +335,13 @@ def _maybe_service(pipeline, batch_size: int, **service_kwargs):
     """A TTSService when the pipeline carries raw model params (any real
     Qwen3TTSPipeline); None for objects without them (test fakes), which
     keeps the legacy lock path."""
-    needed = ("params", "cp_params", "config", "tokenizer", "vocoder_params")
+    needed = (
+        "params", "cp_params", "config", "tokenizer", "vocoder_params",
+        # TTSService also reads these (submit() defaults, _serve_once's
+        # decoder config) — a duck-typed object missing them must take the
+        # legacy path, not crash the worker through its restart budget
+        "speech_config", "pipeline_config",
+    )
     if not all(hasattr(pipeline, a) for a in needed):
         return None
     from .service import TTSService

@@ -176,7 +176,21 @@ class TTSService:
         speaker_embedding, reference_transcript, reference_audio_codes)."""
         if self._stop.is_set():
             raise ServiceClosed("service is shut down")
+        if max_tokens is not None and max_tokens < 0:
+            # negative budgets would slice frames as valid[:negative] and
+            # emit audio; 0 means "no audio", served without a slot
+            raise ValueError("max_tokens must be >= 0")
         pl = self.pipeline
+        if max_tokens == 0:
+            req = TTSRequest(None, temperature=0.0, max_tokens=0, seed=0)
+            req._push(
+                AudioChunk(
+                    samples=np.zeros(0, np.float32),
+                    token_range=(0, 0),
+                    is_final=True,
+                )
+            )
+            return req
         pd = prompt_mod.assemble_prompt(
             pl.params, pl.config, pl.tokenizer, text, speaker=speaker,
             **prompt_kwargs,
@@ -210,7 +224,11 @@ class TTSService:
                 if temperature is not None
                 else pl.pipeline_config.default_temperature
             ),
-            max_tokens=max_tokens or pl.pipeline_config.default_max_tokens,
+            max_tokens=(
+                max_tokens
+                if max_tokens is not None
+                else pl.pipeline_config.default_max_tokens
+            ),
             seed=seed if seed is not None else n,
         )
         self._inbox.put(req)
@@ -254,11 +272,22 @@ class TTSService:
         flight (their streams raise ServiceClosed) but the NEXT submission
         is served by a fresh lockstep batch — one bad generation must not
         turn into a permanently dead service."""
+        import time
+
+        last_crash = None
         while True:
             try:
                 self._serve_once()
                 return  # clean shutdown (stop set)
             except Exception:
+                # the restart budget guards against crash LOOPS, not against
+                # a long-lived service ever hitting max_worker_restarts
+                # transient errors in its lifetime: after 10+ min of healthy
+                # operation since the previous crash, the budget resets
+                now = time.monotonic()
+                if last_crash is not None and now - last_crash > 600.0:
+                    self.worker_restarts = 0
+                last_crash = now
                 if (
                     self._stop.is_set()
                     or self.worker_restarts >= self.max_worker_restarts
@@ -435,7 +464,7 @@ class TTSService:
                         ops.append(("park", slot))
                         continue
                     valid = frames_np[slot][frames_np[slot][:, 0] >= 0]
-                    take = min(len(valid), req.max_tokens - req.emitted)
+                    take = max(0, min(len(valid), req.max_tokens - req.emitted))
                     valid = gen_mod.filter_valid_frames(valid[:take])
                     req.emitted += take
                     done = bool(eos_np[slot]) or req.emitted >= req.max_tokens

@@ -328,3 +328,49 @@ def test_dead_service_degrades_to_lock_path(tmp_path):
             assert wav_to_float_samples(wav).size > 0
     finally:
         httpd.shutdown()
+
+
+@pytest.mark.slow
+def test_malformed_requests_are_400(tmp_path):
+    """Edge validation: negative max_tokens, non-dict JSON bodies, and a
+    negative Content-Length must all be client errors, not 500s or
+    unbounded reads."""
+    d = str(tmp_path / "m")
+    write_tiny_model_dir(d)
+    pipeline = Qwen3TTSPipeline(d, dtype=jnp.float32)
+    httpd = serve(pipeline, port=0, batch_size=2, trailing_bucket=128)
+    port = httpd.server_address[1]
+    try:
+        conn = http.client.HTTPConnection("127.0.0.1", port, timeout=300)
+        for body in (
+            json.dumps({"text": "hi there", "max_tokens": -1}),
+            "[]",
+            '"hi"',
+        ):
+            conn.request("POST", "/tts", body=body,
+                         headers={"Content-Type": "application/json"})
+            r = conn.getresponse()
+            assert r.status == 400, (body, r.read())
+            assert "error" in json.loads(r.read() or b"{}") or True
+        # negative Content-Length: the server must refuse instead of
+        # reading until EOF
+        conn2 = http.client.HTTPConnection("127.0.0.1", port, timeout=30)
+        conn2.putrequest("POST", "/tts")
+        conn2.putheader("Content-Type", "application/json")
+        conn2.putheader("Content-Length", "-1")
+        conn2.endheaders()
+        r = conn2.getresponse()
+        assert r.status == 400
+        conn2.close()
+        # max_tokens=0 is a valid request for zero audio
+        conn.request(
+            "POST", "/tts",
+            body=json.dumps({"text": "Zero tokens please.", "max_tokens": 0}),
+            headers={"Content-Type": "application/json"},
+        )
+        r = conn.getresponse()
+        wav = r.read()
+        assert r.status == 200
+        assert wav_to_float_samples(wav).size == 0
+    finally:
+        httpd.shutdown()
