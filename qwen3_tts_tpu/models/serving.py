@@ -627,6 +627,105 @@ class ServedChunk:
     is_final: bool
 
 
+class _RowPacker:
+    """Buffer-and-batch vocoder-row machinery shared by
+    ContinuousServer.serve_audio and service.TTSService._serve_once (one
+    implementation — the two paths must never drift): fixed-width
+    [left_context + decode_chunk] rows with carried left context, zero
+    END-padding (transparent by the vocoder's causality), and per-key
+    sent-token accounting. Keys are any hashable request handle."""
+
+    def __init__(self, ng: int, decode_chunk: int, left_context: int):
+        self.ng = ng
+        self.decode_chunk = decode_chunk
+        self.left = left_context
+        self.width = left_context + decode_chunk
+        self._buf: dict = {}
+        self._ctx: dict = {}
+        self._sent: dict = {}
+
+    def sent(self, key) -> int:
+        """Tokens whose audio has been packed into rows for `key`."""
+        return self._sent.get(key, 0)
+
+    def drop(self, key) -> None:
+        """Forget a request (cancelled mid-stream) without emitting."""
+        self._buf.pop(key, None)
+        self._ctx.pop(key, None)
+
+    def _mk_row(self, key, frames: np.ndarray, final: bool):
+        ctx = self._ctx.get(key)
+        drop = 0 if ctx is None else len(ctx)
+        row = np.zeros((self.width, self.ng), np.int32)
+        if drop:
+            row[:drop] = ctx
+        row[drop: drop + len(frames)] = frames
+        # next chunk's left context: last `left` frames seen
+        joined = np.concatenate([ctx, frames]) if ctx is not None else frames
+        self._ctx[key] = joined[-self.left:]
+        start = self._sent.get(key, 0)
+        self._sent[key] = start + len(frames)
+        return (key, row, drop, len(frames), (start, start + len(frames)), final)
+
+    def feed(self, key, valid: np.ndarray, done: bool):
+        """Append `valid` (already-filtered) frames; pop every ready
+        decode_chunk-sized row (plus a short final row when `done` with a
+        remainder). Returns (rows, empty_final): empty_final means the
+        stream finished with nothing buffered — the caller owes an empty
+        is_final chunk at token position self.sent(key)."""
+        rows = []
+        buf = self._buf.get(key)
+        buf = (
+            np.concatenate([buf, valid])
+            if buf is not None and len(buf)
+            else valid
+        )
+        while len(buf) >= self.decode_chunk:
+            rows.append(self._mk_row(key, buf[: self.decode_chunk], False))
+            buf = buf[self.decode_chunk:]
+        empty_final = False
+        if done:
+            if len(buf):
+                rows.append(self._mk_row(key, buf, True))
+            else:
+                empty_final = True
+            self.drop(key)
+        else:
+            self._buf[key] = buf
+        return rows, empty_final
+
+
+def vocode_rows(rows, batch_size: int, vocoder_params: dict, decoder_cfg,
+                ng: int, width: int):
+    """Batched fixed-signature vocode of _RowPacker rows: every call is
+    [batch_size, nq, width] (ONE jit signature for the stream's lifetime);
+    >batch_size ready rows just take extra calls. Yields
+    (key, samples float32 in [-1, 1], token_range, is_final) per row, with
+    the context frames' samples dropped and NaN/Inf scrubbed (reference
+    consumer semantics, Qwen3TTSPipeline.swift:565-580)."""
+    from . import vocoder as voc
+
+    spf = decoder_cfg.total_upsample
+    for g0 in range(0, len(rows), batch_size):
+        group = rows[g0: g0 + batch_size]
+        batch = np.zeros((batch_size, ng, width), np.int32)
+        for i, (_key, row, _d, _m, _tr, _f) in enumerate(group):
+            batch[i] = row.T
+        wav = np.asarray(
+            voc.decode_frames_jit(vocoder_params, jnp.asarray(batch),
+                                  decoder_cfg)
+        )
+        for i, (key, _row, drop, m, t_range, final) in enumerate(group):
+            samples = wav[i, drop * spf: (drop + m) * spf]
+            samples = np.where(np.isfinite(samples), samples, 0.0)
+            yield (
+                key,
+                np.clip(samples, -1.0, 1.0).astype(np.float32),
+                t_range,
+                final,
+            )
+
+
 class ContinuousServer:
     """Host-side continuous-batching orchestrator: keeps B slots decoding in
     lockstep, drains finished utterances, and admits queued prompts into
@@ -845,32 +944,8 @@ class ContinuousServer:
         here executes behind the in-flight decode chunk; the host blocks
         only on finished work.
         """
-        from . import vocoder as voc
-
         ng = self.config.code_predictor_config.num_code_groups
-        spf = decoder_cfg.total_upsample
-        width = left_context + decode_chunk
-        b = self.batch_size
-
-        bufs: dict[int, np.ndarray] = {}
-        ctxs: dict[int, np.ndarray | None] = {}
-        sent: dict[int, int] = {}
-
-        def mk_row(req: int, frames: np.ndarray, final: bool):
-            ctx = ctxs.get(req)
-            drop = 0 if ctx is None else len(ctx)
-            row = np.zeros((width, ng), np.int32)
-            if drop:
-                row[:drop] = ctx
-            row[drop: drop + len(frames)] = frames
-            # next chunk's left context: last `left_context` frames seen
-            joined = (
-                np.concatenate([ctx, frames]) if ctx is not None else frames
-            )
-            ctxs[req] = joined[-left_context:]
-            start = sent.get(req, 0)
-            sent[req] = start + len(frames)
-            return (req, row, drop, len(frames), (start, start + len(frames)), final)
+        packer = _RowPacker(ng, decode_chunk, left_context)
 
         for events in self._event_stream(
             prompt_datas, temperature=temperature, max_tokens=max_tokens
@@ -880,49 +955,23 @@ class ContinuousServer:
             for req, valid, done in events:
                 # only real codebook entries reach the vocoder (reference
                 # validates code0 in [0, 2048), Qwen3TTSPipeline.swift:576-580)
-                valid = gen_mod.filter_valid_frames(valid)
-                buf = bufs.get(req)
-                buf = (
-                    np.concatenate([buf, valid])
-                    if buf is not None and len(buf)
-                    else valid
+                r, empty_final = packer.feed(
+                    req, gen_mod.filter_valid_frames(valid), done
                 )
-                while len(buf) >= decode_chunk:
-                    rows.append(mk_row(req, buf[:decode_chunk], False))
-                    buf = buf[decode_chunk:]
-                if done:
-                    if len(buf):
-                        rows.append(mk_row(req, buf, True))
-                    else:
-                        finals_empty.append(req)
-                    bufs.pop(req, None)
-                    ctxs.pop(req, None)
-                else:
-                    bufs[req] = buf
+                rows.extend(r)
+                if empty_final:
+                    finals_empty.append(req)
 
-            # batched vocode, fixed [B, nq, width] signature; >B ready rows
-            # (large decode chunks) just take extra calls
-            for g0 in range(0, len(rows), b):
-                group = rows[g0: g0 + b]
-                batch = np.zeros((b, ng, width), np.int32)
-                for i, (_req, row, _d, _m, _tr, _f) in enumerate(group):
-                    batch[i] = row.T
-                wav = np.asarray(
-                    voc.decode_frames_jit(
-                        vocoder_params, jnp.asarray(batch), decoder_cfg
-                    )
+            for req, samples, t_range, final in vocode_rows(
+                rows, self.batch_size, vocoder_params, decoder_cfg,
+                ng, packer.width,
+            ):
+                yield ServedChunk(
+                    request=req, samples=samples,
+                    token_range=t_range, is_final=final,
                 )
-                for i, (req, _row, drop, m, t_range, final) in enumerate(group):
-                    samples = wav[i, drop * spf: (drop + m) * spf]
-                    samples = np.where(np.isfinite(samples), samples, 0.0)
-                    yield ServedChunk(
-                        request=req,
-                        samples=np.clip(samples, -1.0, 1.0).astype(np.float32),
-                        token_range=t_range,
-                        is_final=final,
-                    )
             for req in finals_empty:
-                t = sent.get(req, 0)
+                t = packer.sent(req)
                 yield ServedChunk(
                     request=req,
                     samples=np.zeros(0, np.float32),

@@ -52,8 +52,7 @@ import numpy as np
 from .models import generate as gen_mod
 from .models import prompt as prompt_mod
 from .models import serving as srv
-from .models import vocoder as voc
-from .pipeline import AudioChunk, _clean
+from .pipeline import AudioChunk
 
 
 class ServiceClosed(RuntimeError):
@@ -80,11 +79,10 @@ class TTSRequest:
         self.seed = int(seed)
         self._q: queue.Queue = queue.Queue()
         self._cancel = threading.Event()
-        # worker-private state (single worker thread; no locking needed)
+        # worker-private state (single worker thread; no locking needed);
+        # buffered frames / left context / sent counts live in the worker's
+        # shared _RowPacker (models/serving.py), keyed by this object
         self.emitted = 0
-        self.buf: np.ndarray | None = None
-        self.ctx: np.ndarray | None = None
-        self.sent = 0
 
     def cancel(self) -> None:
         """Stop generating for this request; the stream terminates with an
@@ -307,8 +305,10 @@ class TTSService:
         b = self.batch_size
         dec_cfg = pl.speech_config.decoder_config
         ng = pl.config.code_predictor_config.num_code_groups
-        spf = dec_cfg.total_upsample
-        width = self.left_context + self.decode_chunk
+        # row packing + batched vocode shared with serve_audio — ONE
+        # implementation of the buffer-and-batch scheme (review finding:
+        # the two paths had drifted)
+        packer = srv._RowPacker(ng, self.decode_chunk, self.left_context)
 
         slots = [_SlotView() for _ in range(b)]
         backlog: deque[TTSRequest] = deque()
@@ -341,7 +341,7 @@ class TTSService:
             if error is not None:
                 req._push(error)
                 return
-            t0 = req.sent
+            t0 = packer.sent(req)
             req._push(
                 AudioChunk(
                     samples=np.zeros(0, np.float32),
@@ -349,24 +349,6 @@ class TTSService:
                     is_final=True,
                 )
             )
-
-        def mk_row(req: TTSRequest, frames: np.ndarray, final: bool):
-            """Fixed-width vocoder row (zero end-padding is transparent: the
-            vocoder is causal end to end — same scheme as
-            serving.py::serve_audio)."""
-            ctx = req.ctx
-            drop = 0 if ctx is None else len(ctx)
-            row = np.zeros((width, ng), np.int32)
-            if drop:
-                row[:drop] = ctx
-            row[drop: drop + len(frames)] = frames
-            joined = (
-                np.concatenate([ctx, frames]) if ctx is not None else frames
-            )
-            req.ctx = joined[-self.left_context:]
-            start = req.sent
-            req.sent = start + len(frames)
-            return (req, row, drop, len(frames), (start, req.sent), final)
 
         try:
             while True:
@@ -453,12 +435,14 @@ class TTSService:
                 frames_np = np.asarray(frames_d)
                 eos_np = np.asarray(eos_d)
                 rows = []
+                empty_finals: list[TTSRequest] = []
                 for slot in range(b):
                     sv = slots[slot]
                     req = sv.req
                     if req is None or it < sv.active_from:
                         continue
                     if req.cancelled:
+                        packer.drop(req)  # buffered frames die with it
                         finish(req)
                         sv.req = None
                         ops.append(("park", slot))
@@ -468,54 +452,30 @@ class TTSService:
                     valid = gen_mod.filter_valid_frames(valid[:take])
                     req.emitted += take
                     done = bool(eos_np[slot]) or req.emitted >= req.max_tokens
-                    buf = req.buf
-                    buf = (
-                        np.concatenate([buf, valid])
-                        if buf is not None and len(buf)
-                        else valid
-                    )
-                    while len(buf) >= self.decode_chunk:
-                        rows.append(mk_row(req, buf[: self.decode_chunk], False))
-                        buf = buf[self.decode_chunk:]
-                    req.buf = buf
+                    r, empty_final = packer.feed(req, valid, done)
+                    rows.extend(r)
                     if done:
-                        if len(buf):
-                            rows.append(mk_row(req, buf, True))
-                            req.buf = None
-                        else:
-                            rows.append((req, None, 0, 0, None, True))
+                        if empty_final:
+                            empty_finals.append(req)
                         finishing.append(req)
                         sv.req = None
                         if not bool(eos_np[slot]):
                             ops.append(("park", slot))
 
-                real_rows = [r for r in rows if r[1] is not None]
-                empty_finals = [r[0] for r in rows if r[1] is None]
                 # batched vocode, fixed [B, nq, width] signature; >B ready
                 # rows (bursts) just take extra calls
-                for g0 in range(0, len(real_rows), b):
-                    group = real_rows[g0: g0 + b]
-                    batch = np.zeros((b, ng, width), np.int32)
-                    for i, (_req, row, _d, _m, _tr, _f) in enumerate(group):
-                        batch[i] = row.T
-                    wav = np.asarray(
-                        voc.decode_frames_jit(
-                            pl.vocoder_params, jnp.asarray(batch), dec_cfg
+                for req, samples, t_range, final in srv.vocode_rows(
+                    rows, b, pl.vocoder_params, dec_cfg, ng, packer.width
+                ):
+                    req._push(
+                        AudioChunk(
+                            samples=samples,
+                            token_range=t_range,
+                            is_final=final,
                         )
                     )
-                    for i, (req, _row, drop, m, t_range, final) in enumerate(
-                        group
-                    ):
-                        samples = wav[i, drop * spf: (drop + m) * spf]
-                        req._push(
-                            AudioChunk(
-                                samples=_clean(samples),
-                                token_range=t_range,
-                                is_final=final,
-                            )
-                        )
-                        if final and req in finishing:
-                            finishing.remove(req)
+                    if final and req in finishing:
+                        finishing.remove(req)
                 for req in empty_finals:
                     finish(req)
                 finishing.clear()
