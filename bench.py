@@ -173,7 +173,10 @@ def e2e_rtf(
         # syncs would bill ~50 ms of tunnel RTT per chunk to the model.
         state = gen_mod.prefill(
             params, embeds, jnp.int32(p), trailing, jnp.int32(t),
-            pd.tts_pad_embed, jax.random.PRNGKey(42), statics,
+            pd.tts_pad_embed, jax.random.PRNGKey(42),
+            # normalized key: modes share ONE compiled prefill (it reads
+            # only config/capacity; each TPU compile costs 60-300 s)
+            gen_mod.prefill_statics(statics),
         )
         frames_all, counts = [], []
         for _ in range(N_CHUNKS):
@@ -242,7 +245,8 @@ def serving_rtf(
     def fresh_state():
         return srv.prefill_batched(
             params, embeds, lengths, trailing, totals,
-            pd.tts_pad_embed.astype(dtype), rngs, statics,
+            pd.tts_pad_embed.astype(dtype), rngs,
+            gen_mod.prefill_statics(statics),
         )
 
     state = fresh_state()
@@ -317,7 +321,8 @@ def serving_audio_rtf(
     def fresh_state():
         return srv.prefill_batched(
             params, embeds, lengths, trailing, totals,
-            pd.tts_pad_embed.astype(dtype), rngs, statics,
+            pd.tts_pad_embed.astype(dtype), rngs,
+            gen_mod.prefill_statics(statics),
         )
 
     n_chunks = 6
@@ -390,7 +395,10 @@ def stream_consumer_rtf(
     def run():
         state = gen_mod.prefill(
             params, embeds, jnp.int32(p), trailing, jnp.int32(t),
-            pd.tts_pad_embed, jax.random.PRNGKey(42), statics,
+            pd.tts_pad_embed, jax.random.PRNGKey(42),
+            # normalized key: modes share ONE compiled prefill (it reads
+            # only config/capacity; each TPU compile costs 60-300 s)
+            gen_mod.prefill_statics(statics),
         )
         pending = gen_mod.decode_chunk(params, cp_params, state, temp, statics)
         emitted = 0

@@ -162,11 +162,13 @@ def predict_frame(
 ) -> tuple[jax.Array, jax.Array, jax.Array | None]:
     """Predict codes 1..15 for one frame (reference Qwen3Talker.swift:501-523).
 
-    code_hidden: [B, 1, H_t] talker's last hidden; code0_embed: [B, 1, H_t]
-    talker codec_embedding of code 0. seen_cp: bool [15, vocab] repetition sets
-    (None = no penalty, the generateStream behavior). Returns
-    (codes [15] int32, embed_sum [B, 1, H_t] = sum of the 15 group embeds,
-    updated seen_cp).
+    SINGLE-STREAM ONLY (B == 1): code_hidden / code0_embed are [1, 1, H_t]
+    (sample_group reads logits row 0 and emb_row returns one row — a B>1
+    call would mis-sample; batched serving uses
+    serving.predict_frame_batched instead). seen_cp: bool [15, vocab]
+    repetition sets (None = no penalty, the generateStream behavior).
+    Returns (codes [15] int32, embed_sum [1, 1, H_t] = sum of the 15 group
+    embeds, updated seen_cp).
     """
     # W8A8 mega-kernel path (ops/pallas/cp_megakernel.py): one pallas_call per
     # frame. Attached by the pipeline under the reserved "kernel" key; B=1 only

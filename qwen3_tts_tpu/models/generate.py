@@ -56,6 +56,19 @@ class GenStatics:
     repetition_penalty: float = 1.05
 
 
+def prefill_statics(statics: GenStatics) -> GenStatics:
+    """Normalized jit key for the prefill programs: they read only
+    (config, capacity), so the decode-side knobs (chunk_steps,
+    track_cp_penalty, repetition_penalty) are pinned — one compiled prefill
+    per prompt bucket serves generate(), generate_stream(), and the serving
+    paths instead of one per knob combination (each a multi-second XLA
+    compile)."""
+    return GenStatics(
+        config=statics.config, capacity=statics.capacity,
+        chunk_steps=0, track_cp_penalty=False,
+    )
+
+
 # ---------------------------------------------------------------------------
 # Prefill
 # ---------------------------------------------------------------------------
@@ -147,7 +160,13 @@ def decode_chunk(
         .at[cfg.codec_pad_id]
         .set(NEG_INF)
     )
-    valid_mask = talker_valid_mask(cfg.vocab_size)
+    # pass the config ids: the reference hardcodes 2148/2150 in its mask
+    # (Qwen3Talker.swift:19-33) and would never terminate on a checkpoint
+    # with nonstandard ids — here the stop logic and the sampleable set stay
+    # consistent by construction (identical behavior at the defaults)
+    valid_mask = talker_valid_mask(
+        cfg.vocab_size, pad_id=cfg.codec_pad_id, eos_id=cfg.codec_eos_token_id
+    )
 
     def cond(carry):
         state, out, count, i = carry
@@ -297,13 +316,6 @@ def stream_codes(
     p_bucket = pick_bucket(p)
     t_bucket = pick_bucket(t, TRAILING_BUCKETS)
 
-    embeds_padded = jnp.zeros((1, p_bucket, prompt_data.input_embeds.shape[2]), dtype)
-    embeds_padded = embeds_padded.at[:, :p].set(prompt_data.input_embeds)
-    trailing_padded = jnp.zeros(
-        (1, t_bucket, prompt_data.trailing_hidden.shape[2]), dtype
-    )
-    trailing_padded = trailing_padded.at[:, :t].set(prompt_data.trailing_hidden)
-
     statics = GenStatics(
         config=config,
         capacity=p_bucket + RING_SLACK,
@@ -315,6 +327,18 @@ def stream_codes(
     if initial_state is not None:
         state = initial_state
     else:
+        # padded prompt buffers are only needed when prefilling here — a
+        # resume from initial_state must not pay the two device allocations
+        embeds_padded = jnp.zeros(
+            (1, p_bucket, prompt_data.input_embeds.shape[2]), dtype
+        )
+        embeds_padded = embeds_padded.at[:, :p].set(prompt_data.input_embeds)
+        trailing_padded = jnp.zeros(
+            (1, t_bucket, prompt_data.trailing_hidden.shape[2]), dtype
+        )
+        trailing_padded = trailing_padded.at[:, :t].set(
+            prompt_data.trailing_hidden
+        )
         rng = jax.random.PRNGKey(seed)
         state = prefill(
             params,
@@ -324,7 +348,7 @@ def stream_codes(
             jnp.int32(t),
             prompt_data.tts_pad_embed,
             rng,
-            statics,
+            prefill_statics(statics),
         )
 
     temp = jnp.float32(temperature)

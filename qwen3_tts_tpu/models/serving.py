@@ -307,7 +307,11 @@ def decode_chunk_serving(
         .at[cfg.codec_eos_token_id].set(NEG_INF)
         .at[cfg.codec_pad_id].set(NEG_INF)
     )
-    valid_mask = talker_valid_mask(cfg.vocab_size)
+    # config ids, not the hardcoded reference defaults — see the matching
+    # note in generate.py::decode_chunk (identical behavior at defaults)
+    valid_mask = talker_valid_mask(
+        cfg.vocab_size, pad_id=cfg.codec_pad_id, eos_id=cfg.codec_eos_token_id
+    )
 
     sample_b = jax.vmap(
         lambda lg, k, seen, tmp: sample_token(
@@ -466,7 +470,7 @@ def generate_codes_batched(
         jnp.asarray(totals),
         prompt_datas[0].tts_pad_embed,
         rngs,
-        statics,
+        gen_mod.prefill_statics(statics),
     )
 
     temp = jnp.float32(temperature)
@@ -790,7 +794,8 @@ class ContinuousServer:
         return prefill_batched(
             self.params, e, jnp.full((1,), p, jnp.int32), tr,
             jnp.full((1,), t, jnp.int32), pd.tts_pad_embed,
-            jax.vmap(jax.random.PRNGKey)(jnp.asarray([seed])), self.statics,
+            jax.vmap(jax.random.PRNGKey)(jnp.asarray([seed])),
+            gen_mod.prefill_statics(self.statics),
         )
 
     def _event_stream(

@@ -52,6 +52,12 @@ def sample_token(
     logits = logits.astype(jnp.float32)
 
     if seen_mask is not None and repetition_penalty != 1.0:
+        # UNCONDITIONAL division, exactly the reference's formula
+        # (Qwen3Talker.swift:288-298: logits / penaltyArray). Note this is
+        # NOT the standard CTRL-style penalty (multiply when negative,
+        # divide when positive): seen tokens with negative logits get
+        # slightly BOOSTED. Deliberate — token-stream parity with the
+        # reference beats textbook correctness here.
         penalty = jnp.where(seen_mask, jnp.float32(repetition_penalty), 1.0)
         logits = logits / penalty
 

@@ -669,6 +669,12 @@ class Qwen3TTSPipeline:
         the remainder, then an empty final sentinel (reference
         _generateStreamImpl, Qwen3TTSPipeline.swift:484-624).
 
+        is_final means "no more audio follows", and consumers may see it
+        TWICE: the reference marks both the flushed remainder and the empty
+        sentinel final (Qwen3TTSPipeline.swift:599-607) and this stream
+        mirrors it exactly. (TTSService streams, by contrast, emit exactly
+        one final chunk.)
+
         first_decode_chunk (default 18 = reference parity) lowers only the
         FIRST vocoder batch — e.g. 9 frames halves time-to-first-audio
         (measured ~200 ms at 18 frames on v5e) at the cost of one extra
@@ -699,21 +705,10 @@ class Qwen3TTSPipeline:
 
             def decode_batch(frames: np.ndarray) -> np.ndarray:
                 nonlocal left_context
-                if left_context is not None:
-                    decode_input = np.concatenate([left_context, frames])
-                    drop = len(left_context) * self._samples_per_frame
-                else:
-                    decode_input = frames
-                    drop = 0
-                wav = np.asarray(
-                    voc.decode_frames_jit(
-                        self.vocoder_params,
-                        jnp.asarray(decode_input.T[None]),
-                        self.speech_config.decoder_config,
-                    )
-                )[0]
-                left_context = frames[-LEFT_CONTEXT_SIZE:]
-                return wav[drop:]
+                wav, left_context = self._decode_with_context(
+                    frames, left_context
+                )
+                return wav
 
             for frames in code_stream:
                 valid = gen_mod.filter_valid_frames(frames)
@@ -782,13 +777,20 @@ class Qwen3TTSPipeline:
         if not text_chunks:
             return np.zeros(0, np.float32)
         if len(text_chunks) == 1:
+            # single generation, but through _generate_codes so instruct /
+            # reference_transcript are honored — the reference's
+            # single-chunk shortcut DROPS them (generate(text:speaker:
+            # temperature:) only, Qwen3TTSPipeline.swift:791-796), flipping
+            # behavior on input length; deliberate fix, not parity
             if on_progress:
                 on_progress(0.0)
-            out = self.generate(
-                text_chunks[0], speaker,
+            frames = self._generate_codes(
+                text_chunks[0], speaker=speaker, instruct=instruct,
                 speaker_embedding=speaker_embedding,
+                reference_transcript=reference_transcript,
                 temperature=temperature, seed=seed,
             )
+            out = self._decode_to_audio(frames)
             if on_progress:
                 on_progress(1.0)
             return out
@@ -826,11 +828,19 @@ class Qwen3TTSPipeline:
                 chunk_samples = chunk_samples[fade:]
             if is_last:
                 all_samples.append(chunk_samples)
+                previous_tail = np.zeros(0, np.float32)
             elif len(chunk_samples) > crossfade:
                 all_samples.append(chunk_samples[: len(chunk_samples) - crossfade])
                 previous_tail = chunk_samples[len(chunk_samples) - crossfade:]
             else:
                 previous_tail = chunk_samples
+        if len(previous_tail):
+            # every later chunk yielded no frames, so the held-back
+            # crossfade tail was never consumed — flush it instead of
+            # ending the utterance ~20 ms early with a hard cut (the
+            # reference drops it, Qwen3TTSPipeline.swift:865 guard;
+            # deliberate fix, not parity)
+            all_samples.append(previous_tail)
         if on_progress:
             on_progress(1.0)
         return (
@@ -884,6 +894,29 @@ class Qwen3TTSPipeline:
             count = writer.finalize()
         return count
 
+    def _decode_with_context(
+        self, frames: np.ndarray, left_context: np.ndarray | None
+    ) -> tuple[np.ndarray, np.ndarray]:
+        """ONE vocoder call over `frames` with optional re-decoded left
+        context whose samples are dropped (the reference's buffer-and-batch
+        step, Qwen3TTSPipeline.swift:700-745). Returns (raw samples, next
+        left context) — the single implementation behind generate_stream
+        and _decode_chunked."""
+        if left_context is not None:
+            decode_input = np.concatenate([left_context, frames])
+            drop = len(left_context) * self._samples_per_frame
+        else:
+            decode_input = frames
+            drop = 0
+        wav = np.asarray(
+            voc.decode_frames_jit(
+                self.vocoder_params,
+                jnp.asarray(decode_input.T[None]),
+                self.speech_config.decoder_config,
+            )
+        )[0][drop:]
+        return wav, frames[-LEFT_CONTEXT_SIZE:]
+
     def _decode_chunked(self, frames: np.ndarray, decode_chunk_size: int) -> np.ndarray:
         """Sequential batched vocoder decode with 8-frame left context
         (reference Qwen3TTSPipeline.swift:700-745, 830-860)."""
@@ -892,22 +925,10 @@ class Qwen3TTSPipeline:
         pos = 0
         while pos < len(frames):
             end = min(pos + decode_chunk_size, len(frames))
-            batch = frames[pos:end]
-            if left_context is not None:
-                decode_input = np.concatenate([left_context, batch])
-                drop = len(left_context) * self._samples_per_frame
-            else:
-                decode_input = batch
-                drop = 0
-            wav = np.asarray(
-                voc.decode_frames_jit(
-                    self.vocoder_params,
-                    jnp.asarray(decode_input.T[None]),
-                    self.speech_config.decoder_config,
-                )
-            )[0][drop:]
+            wav, left_context = self._decode_with_context(
+                frames[pos:end], left_context
+            )
             pieces.append(_clean(wav))
-            left_context = frames[max(0, end - LEFT_CONTEXT_SIZE): end]
             pos = end
         return np.concatenate(pieces) if pieces else np.zeros(0, np.float32)
 

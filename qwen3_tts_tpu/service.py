@@ -260,7 +260,7 @@ class TTSService:
             self.pipeline.params, e, jnp.full((1,), p, jnp.int32), tr,
             jnp.full((1,), t, jnp.int32), pd.tts_pad_embed,
             jax.vmap(jax.random.PRNGKey)(jnp.asarray([req.seed])),
-            self.statics,
+            gen_mod.prefill_statics(self.statics),
         )
 
     def _run(self) -> None:

@@ -199,3 +199,50 @@ def test_cli_smoke(model_dir, tmp_path, capsys, monkeypatch):
     captured = capsys.readouterr().out
     assert "Real-time factor" in captured or "Generated" in captured
     assert out.exists()
+
+
+def test_generate_batch_single_chunk_honors_instruct(pipeline, monkeypatch):
+    """A single-chunk generate_batch must pass instruct / reference_transcript
+    through to code generation — the reference's single-chunk shortcut drops
+    them (Qwen3TTSPipeline.swift:791-796), silently flipping behavior on
+    input length; this pins the deliberate fix."""
+    captured = {}
+    real = pipeline._generate_codes
+
+    def spy(text, **kw):
+        captured.update(kw, text=text)
+        return real(text, **kw)
+
+    monkeypatch.setattr(pipeline, "_generate_codes", spy)
+    from qwen3_tts_tpu.frontend.chunker import chunk
+
+    assert len(chunk(TEXT)) == 1
+    out = pipeline.generate_batch(TEXT, "someone_unknown",
+                                  instruct="Say it warmly", seed=3)
+    assert captured["instruct"] == "Say it warmly"
+    assert np.all(np.isfinite(out))
+
+
+def test_generate_batch_flushes_crossfade_tail(pipeline, monkeypatch):
+    """When every chunk after the first yields no frames, the held-back
+    crossfade tail must still be emitted — output equals the full decode of
+    chunk 0, not a version cut `crossfade` samples short."""
+    long_text = " ".join("This is sentence number %d." % i for i in range(12))
+    real = pipeline._generate_codes
+    calls = []
+
+    def first_only(text, **kw):
+        calls.append(text)
+        if len(calls) == 1:
+            return real(text, **kw)
+        return np.zeros((0, 16), np.int32)
+
+    monkeypatch.setattr(pipeline, "_generate_codes", first_only)
+    out = pipeline.generate_batch(long_text, "aiden", seed=11)
+    assert len(calls) > 1  # the text really did chunk
+    frames = real(calls[0], speaker="aiden", instruct=None,
+                  speaker_embedding=None, reference_transcript=None,
+                  temperature=None, max_tokens=600, seed=11)
+    expected = pipeline._decode_chunked(frames, decode_chunk_size=24)
+    assert len(out) == len(expected)
+    np.testing.assert_allclose(out, expected, rtol=0, atol=0)

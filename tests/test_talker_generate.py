@@ -192,3 +192,39 @@ def test_stream_chunks_cover_exactly_max_tokens(models, tok):
     total = sum(len(c) for c in chunks)
     assert total == 20
     assert [len(c) for c in chunks] == [8, 8, 4]
+
+
+def test_prefill_statics_normalization(models, tok):
+    """prefill_statics pins every decode-side knob so distinct generation
+    modes share ONE compiled prefill — and the normalized statics must
+    produce an identical prefill state (prefill reads only config/capacity)."""
+    cfg, params, _ = models
+    a = G.GenStatics(config=cfg, capacity=160, chunk_steps=48,
+                     track_cp_penalty=True, repetition_penalty=1.05)
+    b = G.GenStatics(config=cfg, capacity=160, chunk_steps=16,
+                     track_cp_penalty=False, repetition_penalty=1.10)
+    # same jit cache key for every knob combination at one (config, capacity)
+    assert G.prefill_statics(a) == G.prefill_statics(b)
+    assert hash(G.prefill_statics(a)) == hash(G.prefill_statics(b))
+
+    pd = _prompt(models, tok, speaker="aiden")
+    p = int(pd.input_embeds.shape[1])
+    t = int(pd.trailing_hidden.shape[1])
+    p_b = G.pick_bucket(p)
+    t_b = G.pick_bucket(t, G.TRAILING_BUCKETS)
+    ep = jnp.zeros((1, p_b, cfg.hidden_size)).at[:, :p].set(pd.input_embeds)
+    tp = jnp.zeros((1, t_b, cfg.hidden_size)).at[:, :t].set(pd.trailing_hidden)
+    full = G.GenStatics(config=cfg, capacity=p_b + G.RING_SLACK,
+                        chunk_steps=48, track_cp_penalty=True)
+    s_full = G.prefill(params, ep, jnp.int32(p), tp, jnp.int32(t),
+                       pd.tts_pad_embed, jax.random.PRNGKey(7), full)
+    s_norm = G.prefill(params, ep, jnp.int32(p), tp, jnp.int32(t),
+                       pd.tts_pad_embed, jax.random.PRNGKey(7),
+                       G.prefill_statics(full))
+    lf, tf = jax.tree_util.tree_flatten_with_path(s_full)
+    ln, tn = jax.tree_util.tree_flatten_with_path(s_norm)
+    assert tf == tn
+    for (pf, xf), (_, xn) in zip(lf, ln):
+        np.testing.assert_array_equal(
+            np.asarray(xf), np.asarray(xn),
+            err_msg=jax.tree_util.keystr(pf))
