@@ -173,10 +173,7 @@ def e2e_rtf(
         # syncs would bill ~50 ms of tunnel RTT per chunk to the model.
         state = gen_mod.prefill(
             params, embeds, jnp.int32(p), trailing, jnp.int32(t),
-            pd.tts_pad_embed, jax.random.PRNGKey(42),
-            # normalized key: modes share ONE compiled prefill (it reads
-            # only config/capacity; each TPU compile costs 60-300 s)
-            gen_mod.prefill_statics(statics),
+            pd.tts_pad_embed, jax.random.PRNGKey(42), statics,
         )
         frames_all, counts = [], []
         for _ in range(N_CHUNKS):
@@ -245,8 +242,7 @@ def serving_rtf(
     def fresh_state():
         return srv.prefill_batched(
             params, embeds, lengths, trailing, totals,
-            pd.tts_pad_embed.astype(dtype), rngs,
-            gen_mod.prefill_statics(statics),
+            pd.tts_pad_embed.astype(dtype), rngs, statics,
         )
 
     state = fresh_state()
@@ -321,8 +317,7 @@ def serving_audio_rtf(
     def fresh_state():
         return srv.prefill_batched(
             params, embeds, lengths, trailing, totals,
-            pd.tts_pad_embed.astype(dtype), rngs,
-            gen_mod.prefill_statics(statics),
+            pd.tts_pad_embed.astype(dtype), rngs, statics,
         )
 
     n_chunks = 6
@@ -395,10 +390,7 @@ def stream_consumer_rtf(
     def run():
         state = gen_mod.prefill(
             params, embeds, jnp.int32(p), trailing, jnp.int32(t),
-            pd.tts_pad_embed, jax.random.PRNGKey(42),
-            # normalized key: modes share ONE compiled prefill (it reads
-            # only config/capacity; each TPU compile costs 60-300 s)
-            gen_mod.prefill_statics(statics),
+            pd.tts_pad_embed, jax.random.PRNGKey(42), statics,
         )
         pending = gen_mod.decode_chunk(params, cp_params, state, temp, statics)
         emitted = 0

@@ -127,7 +127,7 @@ def collect_report(
     )
     state = gen_mod.prefill(
         pl.params, e, jnp.int32(p), tr, jnp.int32(t), pd.tts_pad_embed,
-        jax.random.PRNGKey(seed), gen_mod.prefill_statics(statics),
+        jax.random.PRNGKey(seed), statics,
     )
     checks["prefill_h_last"] = _stat(state["h_last"])
     checks["prefill_logits"] = _stat(state["logits"])

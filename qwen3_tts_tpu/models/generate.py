@@ -74,7 +74,6 @@ def prefill_statics(statics: GenStatics) -> GenStatics:
 # ---------------------------------------------------------------------------
 
 
-@functools.partial(jax.jit, static_argnames=("statics",))
 def prefill(
     params: dict,
     embeds_padded: jax.Array,
@@ -85,7 +84,30 @@ def prefill(
     rng: jax.Array,
     statics: GenStatics,
 ) -> dict:
-    """Run the prompt through the talker and build the initial decode state."""
+    """Run the prompt through the talker and build the initial decode state.
+
+    Unjitted wrapper: normalizes `statics` via prefill_statics before
+    hitting the jit cache, so the sharing of ONE compiled prefill per
+    (config, capacity) holds by construction — a caller passing raw
+    decode-side knobs cannot fork the cache into a duplicate 60-300 s TPU
+    compile."""
+    return _prefill_jit(
+        params, embeds_padded, length, trailing_padded, total_text,
+        tts_pad_embed, rng, prefill_statics(statics),
+    )
+
+
+@functools.partial(jax.jit, static_argnames=("statics",))
+def _prefill_jit(
+    params: dict,
+    embeds_padded: jax.Array,
+    length: jax.Array,
+    trailing_padded: jax.Array,
+    total_text: jax.Array,
+    tts_pad_embed: jax.Array,
+    rng: jax.Array,
+    statics: GenStatics,
+) -> dict:
     cfg = statics.config
     cache = talker_mod.init_kv_cache(
         cfg, statics.capacity, batch=1, dtype=embeds_padded.dtype
@@ -348,7 +370,7 @@ def stream_codes(
             jnp.int32(t),
             prompt_data.tts_pad_embed,
             rng,
-            prefill_statics(statics),
+            statics,
         )
 
     temp = jnp.float32(temperature)

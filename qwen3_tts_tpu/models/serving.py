@@ -30,6 +30,7 @@ from ..config import Qwen3TTSConfig
 from ..ops.linear import linear
 from ..ops.norms import rms_norm
 from ..ops.sampling import NEG_INF, sample_token, talker_valid_mask
+from ..utils.postprocess import sanitize_samples
 from . import code_predictor as cp_mod
 from . import generate as gen_mod
 from . import talker as talker_mod
@@ -186,7 +187,6 @@ def predict_frame_batched(
 # ---------------------------------------------------------------------------
 
 
-@functools.partial(jax.jit, static_argnames=("statics",))
 def prefill_batched(
     params: dict,
     embeds_padded: jax.Array,
@@ -202,7 +202,27 @@ def prefill_batched(
     embeds_padded [B,P,H]; lengths [B]; trailing_padded [B,T,H];
     total_texts [B]; rngs [B,2]. Slots [0,P) are shared; per-stream padding
     slots carry pos=-1 (masked).
-    """
+
+    Unjitted wrapper (see generate.prefill): statics are normalized via
+    prefill_statics before the jit cache, so every decode-knob combination
+    shares ONE compiled batched prefill per (config, capacity, B, P)."""
+    return _prefill_batched_jit(
+        params, embeds_padded, lengths, trailing_padded, total_texts,
+        tts_pad_embed, rngs, gen_mod.prefill_statics(statics),
+    )
+
+
+@functools.partial(jax.jit, static_argnames=("statics",))
+def _prefill_batched_jit(
+    params: dict,
+    embeds_padded: jax.Array,
+    lengths: jax.Array,
+    trailing_padded: jax.Array,
+    total_texts: jax.Array,
+    tts_pad_embed: jax.Array,
+    rngs: jax.Array,
+    statics: gen_mod.GenStatics,
+) -> dict:
     cfg = statics.config
     b, p_pad, hdim = embeds_padded.shape
     scale = 1.0 / float(cfg.head_dim) ** 0.5
@@ -470,7 +490,7 @@ def generate_codes_batched(
         jnp.asarray(totals),
         prompt_datas[0].tts_pad_embed,
         rngs,
-        gen_mod.prefill_statics(statics),
+        statics,
     )
 
     temp = jnp.float32(temperature)
@@ -653,9 +673,21 @@ class _RowPacker:
         return self._sent.get(key, 0)
 
     def drop(self, key) -> None:
-        """Forget a request (cancelled mid-stream) without emitting."""
+        """Forget a request's buffered frames (cancelled mid-stream) without
+        emitting. Keeps the sent-token count — the caller still reads it for
+        the final chunk's token position; call release() once that chunk is
+        out."""
         self._buf.pop(key, None)
         self._ctx.pop(key, None)
+
+    def release(self, key) -> None:
+        """Forget a request entirely, including its sent-token accounting.
+        MUST be called once no more chunks will be emitted for `key`: a
+        lifetime packer (TTSService._serve_once) otherwise pins every
+        completed request object — and its device-resident prompt
+        embeddings — forever."""
+        self.drop(key)
+        self._sent.pop(key, None)
 
     def _mk_row(self, key, frames: np.ndarray, final: bool):
         ctx = self._ctx.get(key)
@@ -720,11 +752,9 @@ def vocode_rows(rows, batch_size: int, vocoder_params: dict, decoder_cfg,
                                   decoder_cfg)
         )
         for i, (key, _row, drop, m, t_range, final) in enumerate(group):
-            samples = wav[i, drop * spf: (drop + m) * spf]
-            samples = np.where(np.isfinite(samples), samples, 0.0)
             yield (
                 key,
-                np.clip(samples, -1.0, 1.0).astype(np.float32),
+                sanitize_samples(wav[i, drop * spf: (drop + m) * spf]),
                 t_range,
                 final,
             )
@@ -794,8 +824,7 @@ class ContinuousServer:
         return prefill_batched(
             self.params, e, jnp.full((1,), p, jnp.int32), tr,
             jnp.full((1,), t, jnp.int32), pd.tts_pad_embed,
-            jax.vmap(jax.random.PRNGKey)(jnp.asarray([seed])),
-            gen_mod.prefill_statics(self.statics),
+            jax.vmap(jax.random.PRNGKey)(jnp.asarray([seed])), self.statics,
         )
 
     def _event_stream(
@@ -975,8 +1004,11 @@ class ContinuousServer:
                     request=req, samples=samples,
                     token_range=t_range, is_final=final,
                 )
+                if final:
+                    packer.release(req)
             for req in finals_empty:
                 t = packer.sent(req)
+                packer.release(req)
                 yield ServedChunk(
                     request=req,
                     samples=np.zeros(0, np.float32),

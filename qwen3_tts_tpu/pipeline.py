@@ -36,6 +36,7 @@ from .models import generate as gen_mod
 from .models import prompt as prompt_mod
 from .models import vocoder as voc
 from .ops.quant import apply_mixed_quantization
+from .utils.postprocess import sanitize_samples
 
 SAMPLE_RATE = 24000
 # Streaming consumer constants (reference Qwen3TTSPipeline.swift:520-522);
@@ -94,11 +95,9 @@ class Qwen3TTSError(Exception):
     """Load-time errors (reference Qwen3TTSPipeline.swift:985-1000)."""
 
 
-def _clean(samples: np.ndarray) -> np.ndarray:
-    """NaN/Inf scrub + clamp (reference Qwen3TTSPipeline.swift:565-570)."""
-    out = np.asarray(samples, np.float32)
-    out = np.where(np.isfinite(out), out, 0.0)
-    return np.clip(out, -1.0, 1.0)
+# NaN/Inf scrub + clamp (reference Qwen3TTSPipeline.swift:565-570); shared
+# with serving.vocode_rows — one implementation, utils/postprocess.py
+_clean = sanitize_samples
 
 
 class Qwen3TTSPipeline:
@@ -416,7 +415,8 @@ class Qwen3TTSPipeline:
                 if temperature is not None
                 else self.pipeline_config.default_temperature
             ),
-            max_tokens=max_tokens or self.pipeline_config.default_max_tokens,
+            max_tokens=(max_tokens if max_tokens is not None
+                        else self.pipeline_config.default_max_tokens),
             seed=seed,
         )
         return gen_mod.filter_valid_frames(frames)
@@ -562,7 +562,8 @@ class Qwen3TTSPipeline:
                 if temperature is not None
                 else self.pipeline_config.default_temperature
             ),
-            max_tokens=max_tokens or self.pipeline_config.default_max_tokens,
+            max_tokens=(max_tokens if max_tokens is not None
+                        else self.pipeline_config.default_max_tokens),
             seed=seed,
         )
         # Batch the vocoder across streams too: pad every stream's codes to
@@ -641,7 +642,8 @@ class Qwen3TTSPipeline:
                 if temperature is not None
                 else self.pipeline_config.default_temperature
             ),
-            max_tokens=max_tokens or self.pipeline_config.default_max_tokens,
+            max_tokens=(max_tokens if max_tokens is not None
+                        else self.pipeline_config.default_max_tokens),
         ):
             yield keep[chunk.request], AudioChunk(
                 samples=_clean(chunk.samples),
@@ -694,7 +696,8 @@ class Qwen3TTSPipeline:
                     if temperature is not None
                     else self.pipeline_config.default_temperature
                 ),
-                max_tokens=max_tokens or self.pipeline_config.default_max_tokens,
+                max_tokens=(max_tokens if max_tokens is not None
+                        else self.pipeline_config.default_max_tokens),
                 chunk_steps=chunk,
                 track_cp_penalty=False,  # streaming skips cp repetition sets
                 seed=seed,
@@ -921,13 +924,15 @@ class Qwen3TTSPipeline:
         """Sequential batched vocoder decode with 8-frame left context
         (reference Qwen3TTSPipeline.swift:700-745, 830-860)."""
         pieces: list[np.ndarray] = []
-        left_context: np.ndarray | None = None
         pos = 0
         while pos < len(frames):
             end = min(pos + decode_chunk_size, len(frames))
-            wav, left_context = self._decode_with_context(
-                frames[pos:end], left_context
-            )
+            # context spans batch boundaries: the last 8 frames BEFORE pos,
+            # even when decode_chunk_size < LEFT_CONTEXT_SIZE (the streaming
+            # path's carried context is batch-local instead — there the
+            # producer guarantees batches >= LEFT_CONTEXT_SIZE mid-stream)
+            left = frames[max(0, pos - LEFT_CONTEXT_SIZE): pos] if pos else None
+            wav, _ = self._decode_with_context(frames[pos:end], left)
             pieces.append(_clean(wav))
             pos = end
         return np.concatenate(pieces) if pieces else np.zeros(0, np.float32)

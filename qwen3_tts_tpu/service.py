@@ -260,7 +260,7 @@ class TTSService:
             self.pipeline.params, e, jnp.full((1,), p, jnp.int32), tr,
             jnp.full((1,), t, jnp.int32), pd.tts_pad_embed,
             jax.vmap(jax.random.PRNGKey)(jnp.asarray([req.seed])),
-            gen_mod.prefill_statics(self.statics),
+            self.statics,
         )
 
     def _run(self) -> None:
@@ -309,6 +309,7 @@ class TTSService:
         # implementation of the buffer-and-batch scheme (review finding:
         # the two paths had drifted)
         packer = srv._RowPacker(ng, self.decode_chunk, self.left_context)
+        self._packer = packer  # exposed for leak tests (lifetime = worker)
 
         slots = [_SlotView() for _ in range(b)]
         backlog: deque[TTSRequest] = deque()
@@ -339,9 +340,11 @@ class TTSService:
 
         def finish(req: TTSRequest, *, error: Exception | None = None):
             if error is not None:
+                packer.release(req)
                 req._push(error)
                 return
             t0 = packer.sent(req)
+            packer.release(req)
             req._push(
                 AudioChunk(
                     samples=np.zeros(0, np.float32),
@@ -476,6 +479,7 @@ class TTSService:
                     )
                     if final and req in finishing:
                         finishing.remove(req)
+                        packer.release(req)
                 for req in empty_finals:
                     finish(req)
                 finishing.clear()

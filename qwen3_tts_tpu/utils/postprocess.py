@@ -16,6 +16,17 @@ HOLD_WINDOWS = 6  # ~120 ms hold
 TARGET_PEAK = 0.891  # -1 dBFS
 
 
+def sanitize_samples(samples: np.ndarray) -> np.ndarray:
+    """NaN/Inf scrub + clamp to [-1, 1], float32 (reference consumer
+    semantics, Qwen3TTSPipeline.swift:565-570). The ONE implementation
+    behind pipeline._clean and serving.vocode_rows — every audio sample
+    leaving this framework passes through here, so the NaN policy and
+    clamp range can never drift between the pipeline and service paths."""
+    out = np.asarray(samples, np.float32)
+    out = np.where(np.isfinite(out), out, 0.0)
+    return np.clip(out, -1.0, 1.0)
+
+
 def apply_noise_gate(samples: np.ndarray) -> np.ndarray:
     """Windowed-RMS gate with hold + linear crossfade
     (reference AudioPostprocessor.swift:61-106)."""

@@ -246,3 +246,17 @@ def test_generate_batch_flushes_crossfade_tail(pipeline, monkeypatch):
     expected = pipeline._decode_chunked(frames, decode_chunk_size=24)
     assert len(out) == len(expected)
     np.testing.assert_allclose(out, expected, rtol=0, atol=0)
+
+
+def test_max_tokens_zero_means_no_audio(pipeline):
+    """max_tokens=0 is a literal zero-audio budget on EVERY path — the
+    service path already honors it; the pipeline (the server's degraded /
+    lock fallback) must not coerce 0 to default_max_tokens via falsy-or and
+    synthesize a full utterance."""
+    out = pipeline.generate(TEXT, "aiden", max_tokens=0, seed=0)
+    assert out.shape == (0,)
+    chunks = list(pipeline.generate_stream(TEXT, "aiden", max_tokens=0))
+    assert all(len(c.samples) == 0 for c in chunks)
+    assert chunks[-1].is_final
+    many = pipeline.generate_many([TEXT, TEXT], "aiden", max_tokens=0)
+    assert [len(m) for m in many] == [0, 0]

@@ -350,8 +350,9 @@ def test_malformed_requests_are_400(tmp_path):
             conn.request("POST", "/tts", body=body,
                          headers={"Content-Type": "application/json"})
             r = conn.getresponse()
-            assert r.status == 400, (body, r.read())
-            assert "error" in json.loads(r.read() or b"{}") or True
+            payload = r.read()
+            assert r.status == 400, (body, payload)
+            assert "error" in json.loads(payload), (body, payload)
         # negative Content-Length: the server must refuse instead of
         # reading until EOF
         conn2 = http.client.HTTPConnection("127.0.0.1", port, timeout=30)

@@ -271,3 +271,32 @@ def test_submit_rejects_oversized_prompt(tiny_pipeline):
             service.submit("word " * 500, "aiden")
     finally:
         service.close()
+
+
+def test_packer_releases_completed_requests(tiny_pipeline):
+    """The worker's lifetime _RowPacker must forget every request once its
+    final chunk is out — completed/cancelled TTSRequests (and the device
+    prompt embeddings they pin via req.pd) must not accumulate in the
+    packer's sent-token map for the life of the service."""
+    pl = tiny_pipeline
+    service = _mk_service(pl, batch_size=2)
+    try:
+        # completed requests (both real-final-row and empty-final shapes)
+        for i in range(3):
+            service.submit(TEXTS[i], "aiden", temperature=0.0,
+                           max_tokens=10).audio()
+        # a cancelled one
+        req = service.submit(TEXTS[3], "aiden", temperature=0.0,
+                             max_tokens=64)
+        req.cancel()
+        list(req.chunks())
+        # one more served request guarantees the worker has gone around the
+        # loop past every release point before we inspect
+        service.submit(TEXTS[4], "aiden", temperature=0.0,
+                       max_tokens=6).audio()
+        packer = service._packer
+        assert packer._buf == {}
+        assert packer._ctx == {}
+        assert packer._sent == {}
+    finally:
+        service.close()
