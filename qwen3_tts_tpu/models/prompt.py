@@ -89,6 +89,12 @@ def assemble_prompt(
         codec_embed = jnp.concatenate([codec_embed, spk, codec_suffix], axis=1)
     elif speaker_embedding is not None:
         spk = jnp.asarray(speaker_embedding).reshape(1, 1, -1).astype(codec_embed.dtype)
+        if spk.shape[-1] != codec_embed.shape[-1]:
+            raise ValueError(
+                f"speaker_embedding dim {spk.shape[-1]} != talker hidden "
+                f"{codec_embed.shape[-1]}; the embedding joins the codec "
+                "stream unprojected (reference Qwen3Talker.swift:370-379)"
+            )
         codec_embed = jnp.concatenate([codec_embed, spk, codec_suffix], axis=1)
     else:
         codec_embed = jnp.concatenate([codec_embed, codec_suffix], axis=1)

@@ -445,17 +445,26 @@ class Qwen3TTSPipeline:
         text: str,
         speaker: str = "",
         *,
+        instruct: str | None = None,
         speaker_embedding: np.ndarray | None = None,
+        reference_transcript: str | None = None,
+        reference_audio_codes: list[list[int]] | None = None,
         temperature: float | None = None,
         max_tokens: int | None = None,
         seed: int = 0,
     ) -> np.ndarray:
         """Blocking synthesis with a built-in speaker or a speaker embedding
-        (reference Qwen3TTSPipeline.swift:244-306)."""
+        (reference Qwen3TTSPipeline.swift:244-306). The full prompt kwarg
+        set is accepted so one entry point can serve every mode (the
+        dedicated generate_voice_design / generate_custom_voice /
+        generate_icl wrappers remain the reference-parity surface)."""
         frames = self._generate_codes(
             text,
             speaker=speaker,
+            instruct=instruct,
             speaker_embedding=speaker_embedding,
+            reference_transcript=reference_transcript,
+            reference_audio_codes=reference_audio_codes,
             temperature=temperature,
             max_tokens=max_tokens,
             seed=seed,
@@ -660,6 +669,8 @@ class Qwen3TTSPipeline:
         *,
         instruct: str | None = None,
         speaker_embedding: np.ndarray | None = None,
+        reference_transcript: str | None = None,
+        reference_audio_codes: list[list[int]] | None = None,
         temperature: float | None = None,
         max_tokens: int | None = None,
         chunk_size: int | None = None,
@@ -686,6 +697,8 @@ class Qwen3TTSPipeline:
         prompt_data = prompt_mod.assemble_prompt(
             self.params, self.config, self.tokenizer, text,
             speaker=speaker, instruct=instruct, speaker_embedding=speaker_embedding,
+            reference_transcript=reference_transcript,
+            reference_audio_codes=reference_audio_codes,
         )
         total = 0
         if prompt_data is not None:

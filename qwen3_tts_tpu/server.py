@@ -21,7 +21,14 @@ Endpoints:
         continuous batch — concurrent requests decode together)
         body JSON: {"text": str, "speaker": str (optional),
                     "temperature": float (optional),
-                    "max_tokens": int (optional), "seed": int (optional)}
+                    "max_tokens": int (optional), "seed": int (optional),
+                    -- voice modes (all optional) --
+                    "instruct": str  (VoiceDesign without a speaker,
+                                      CustomVoice with one),
+                    "reference_audio_b64": str  (base64 16-bit 24 kHz WAV;
+                        with "reference_transcript" -> ICL voice cloning,
+                        alone -> speaker-embedding cloning),
+                    "reference_transcript": str}
   POST /tts?stream=1      -> chunked audio/wav: a streaming WAV header, then
         16-bit PCM appended as each 18-frame chunk leaves the vocoder
         (first bytes arrive at time-to-first-audio, not end of synthesis).
@@ -48,10 +55,17 @@ from urllib.parse import parse_qs, urlparse
 
 import numpy as np
 
-from .io.wav import pcm16_bytes, streaming_wav_header, wav_data
+from .io.wav import (
+    pcm16_bytes,
+    streaming_wav_header,
+    wav_data,
+    wav_to_float_samples,
+)
 from .pipeline import Qwen3TTSError, Qwen3TTSPipeline
 
-MAX_BODY_BYTES = 1 << 20  # 1 MiB of JSON is far beyond any sane request
+# 8 MiB: bounds memory per request while leaving room for ~2 min of base64
+# reference audio (24 kHz 16-bit WAV is ~48 KB/s raw, ~64 KB/s base64)
+MAX_BODY_BYTES = 8 << 20
 
 
 def _gen_kwargs(req: dict) -> dict:
@@ -66,6 +80,59 @@ def _gen_kwargs(req: dict) -> dict:
             raise ValueError("max_tokens must be >= 0")
     if "seed" in req:
         kwargs["seed"] = int(req["seed"])
+    return kwargs
+
+
+def _prompt_kwargs(req: dict, pipeline) -> dict:
+    """Voice-mode parameters, completing the reference's generation-mode
+    surface over HTTP: `instruct` selects VoiceDesign (no speaker) or
+    CustomVoice (with speaker) (reference Qwen3TTSPipeline.swift:355-480);
+    `reference_audio_b64` (base64 16-bit 24 kHz WAV) with a
+    `reference_transcript` is encoded to codec codes for ICL cloning
+    (swift:924-945), without one it becomes a 1024-d speaker x-vector
+    (swift:906-918). ValueError -> 400 at the edge."""
+    kwargs: dict = {}
+    instruct = req.get("instruct")
+    if instruct is not None:
+        if not isinstance(instruct, str) or not instruct.strip():
+            raise ValueError("'instruct' must be a non-empty string")
+        kwargs["instruct"] = instruct
+    ref_b64 = req.get("reference_audio_b64")
+    transcript = req.get("reference_transcript")
+    if ref_b64 is None:
+        if transcript:
+            raise ValueError(
+                "'reference_transcript' requires 'reference_audio_b64'"
+            )
+        return kwargs
+    if not isinstance(ref_b64, str):
+        raise ValueError("'reference_audio_b64' must be a base64 string")
+    try:
+        wav_bytes = base64.b64decode(ref_b64, validate=True)
+    except Exception:
+        raise ValueError("'reference_audio_b64' is not valid base64") from None
+    samples = wav_to_float_samples(wav_bytes)
+    if not len(samples):
+        raise ValueError("reference audio is empty or not 16-bit PCM WAV")
+    if transcript:
+        if not isinstance(transcript, str):
+            raise ValueError("'reference_transcript' must be a string")
+        codes = pipeline.encode_reference_audio(samples)
+        if codes is None:
+            raise ValueError(
+                "this checkpoint has no audio encoder; ICL cloning "
+                "is unavailable"
+            )
+        kwargs["reference_transcript"] = transcript
+        kwargs["reference_audio_codes"] = codes
+    else:
+        emb = pipeline.extract_speaker_embedding(samples)
+        if emb is None:
+            raise ValueError(
+                "this checkpoint has no speaker encoder; voice cloning "
+                "is unavailable"
+            )
+        kwargs["speaker_embedding"] = emb
     return kwargs
 
 
@@ -170,6 +237,7 @@ def make_handler(pipeline: Qwen3TTSPipeline, service=None):
                 self._send_json(400, {"error": "missing 'text'"})
                 return
             kwargs = _gen_kwargs(req)
+            kwargs.update(_prompt_kwargs(req, pipeline))
             speaker = req.get("speaker", "")
             if service is not None:
                 from .service import ServiceClosed

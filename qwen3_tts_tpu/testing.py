@@ -503,8 +503,12 @@ def write_tiny_model_dir(
 def tiny_speaker_config():
     from .config import SpeakerEncoderConfig
 
+    # enc_dim must equal the tiny talker's hidden_size (64): the speaker
+    # embedding is concatenated directly into the codec-embedding stream with
+    # no projection (models/prompt.py, reference Qwen3Talker.swift:370-379),
+    # exactly as real checkpoints pair enc_dim=1024 with hidden 1024.
     return SpeakerEncoderConfig(
-        enc_dim=32,
+        enc_dim=64,
         mel_dim=16,
         enc_channels=(16, 16, 16, 16, 48),
         enc_kernel_sizes=(5, 3, 3, 3, 1),

@@ -375,3 +375,125 @@ def test_malformed_requests_are_400(tmp_path):
         assert wav_to_float_samples(wav).size == 0
     finally:
         httpd.shutdown()
+
+
+@pytest.mark.slow
+def test_http_voice_modes(tmp_path):
+    """The HTTP surface carries every reference generation mode: instruct
+    (VoiceDesign / CustomVoice), ICL cloning from base64 reference audio +
+    transcript, and speaker-embedding cloning from audio alone — each
+    greedy-parity with the corresponding pipeline mode method."""
+    from qwen3_tts_tpu.io.wav import wav_data
+
+    d = str(tmp_path / "m")
+    write_tiny_model_dir(d, with_encoders=True)
+    pipeline = Qwen3TTSPipeline(d, dtype=jnp.float32)
+    # prompt_bucket 256: ICL prompts carry the reference codes (~230 tokens
+    # here) and must fit the service's fixed bucket to be served by the
+    # continuous batch rather than the lock fallback
+    httpd = serve(pipeline, port=0, batch_size=2, trailing_bucket=128,
+                  prompt_bucket=256)
+    port = httpd.server_address[1]
+
+    rng = np.random.default_rng(5)
+    ref_audio = (rng.standard_normal(4800) * 0.1).astype(np.float32)
+    ref_b64 = base64.b64encode(wav_data(ref_audio, 24000)).decode()
+
+    def post(payload: dict):
+        conn = http.client.HTTPConnection("127.0.0.1", port, timeout=300)
+        conn.request("POST", "/tts", body=json.dumps(payload),
+                     headers={"Content-Type": "application/json"})
+        r = conn.getresponse()
+        body = r.read()
+        conn.close()
+        return r.status, r.getheader("Content-Type"), body
+
+    def pcm_parity(wav_bytes: bytes, label: str, **stream_kwargs):
+        """HTTP audio (served through the continuous batch) must match the
+        canonical single-stream generate_stream decode of the same mode.
+        The one-shot pipeline methods are NOT the comparison target: their
+        chunked_decode re-decodes reference-parity fake zero-code left
+        context on the first chunk, a deliberately different decode scheme."""
+        got = wav_to_float_samples(wav_bytes)
+        parts = [
+            c.samples
+            for c in pipeline.generate_stream(
+                temperature=0.0, max_tokens=8, seed=2, **stream_kwargs
+            )
+            if len(c.samples)
+        ]
+        expected = (
+            np.concatenate(parts) if parts else np.zeros(0, np.float32)
+        )
+        want = wav_to_float_samples(wav_data(expected, 24000))
+        np.testing.assert_allclose(got, want, rtol=0, atol=1e-4,
+                                   err_msg=label)
+
+    try:
+        base = {"temperature": 0.0, "max_tokens": 8, "seed": 2}
+
+        # VoiceDesign: instruct without a speaker
+        st, ct, wav = post({**base, "text": "Voice design over the wire.",
+                            "instruct": "A calm low voice."})
+        assert (st, ct) == (200, "audio/wav")
+        pcm_parity(wav, "voice_design",
+                   text="Voice design over the wire.",
+                   instruct="A calm low voice.")
+
+        # CustomVoice: instruct + speaker
+        st, ct, wav = post({**base, "text": "Custom voice over the wire.",
+                            "speaker": "aiden", "instruct": "Whisper it."})
+        assert (st, ct) == (200, "audio/wav")
+        pcm_parity(wav, "custom_voice",
+                   text="Custom voice over the wire.", speaker="aiden",
+                   instruct="Whisper it.")
+
+        # ICL cloning: reference audio + transcript
+        st, ct, wav = post({**base, "text": "Clone this speaking style.",
+                            "reference_audio_b64": ref_b64,
+                            "reference_transcript": "reference words"})
+        assert (st, ct) == (200, "audio/wav")
+        codes = pipeline.encode_reference_audio(ref_audio)
+        pcm_parity(wav, "icl", text="Clone this speaking style.",
+                   reference_transcript="reference words",
+                   reference_audio_codes=codes)
+
+        # speaker-embedding cloning: reference audio alone
+        st, ct, wav = post({**base, "text": "Embed my voice please.",
+                            "reference_audio_b64": ref_b64})
+        assert (st, ct) == (200, "audio/wav")
+        emb = pipeline.extract_speaker_embedding(ref_audio)
+        pcm_parity(wav, "embedding", text="Embed my voice please.",
+                   speaker_embedding=emb)
+
+        # edge validation: transcript without audio, bad base64
+        st, _, body = post({**base, "text": "hello there world",
+                            "reference_transcript": "words"})
+        assert st == 400 and b"error" in body
+        st, _, body = post({**base, "text": "hello there world",
+                            "reference_audio_b64": "@@not-base64@@"})
+        assert st == 400 and b"error" in body
+    finally:
+        httpd.shutdown()
+
+    # an ICL prompt that EXCEEDS the service bucket must fall through to the
+    # single-stream lock path (server.py's 'exceeds service buckets'
+    # fallthrough) and still return valid audio — parity with the one-shot
+    # generate_icl, whose chunked_decode scheme that path uses
+    httpd2 = serve(pipeline, port=0, batch_size=2, trailing_bucket=128)
+    port = httpd2.server_address[1]
+    try:
+        st, ct, wav = post({"temperature": 0.0, "max_tokens": 8, "seed": 2,
+                            "text": "Clone this speaking style.",
+                            "reference_audio_b64": ref_b64,
+                            "reference_transcript": "reference words"})
+        assert (st, ct) == (200, "audio/wav")
+        got = wav_to_float_samples(wav)
+        expected = pipeline.generate_icl(
+            "Clone this speaking style.", "reference words", codes,
+            temperature=0.0, max_tokens=8, seed=2)
+        want = wav_to_float_samples(wav_data(expected, 24000))
+        np.testing.assert_allclose(got, want, rtol=0, atol=1e-4,
+                                   err_msg="icl lock fallback")
+    finally:
+        httpd2.shutdown()
