@@ -144,6 +144,33 @@ def collect_report(
     wav = pl._decode_to_audio(valid)
     checks["wav"] = _stat(wav)
 
+    # Per-mode prompt pins: checksum every generation mode's assembled
+    # prompt so a tokenizer/layout regression in ANY mode fails
+    # verification, not just the speaker-id path (reference prompt variants
+    # Qwen3Talker.swift:354-434). The ICL codes and cloning embedding are
+    # FIXED synthetic values, not encoder outputs, so these pins exist for
+    # every checkpoint and stay comparable at the tpu-bf16 tier (where
+    # encoder argmins may legitimately flip); the encoders' own outputs are
+    # pinned separately below.
+    instruct = "A calm low voice, slightly slow."
+    syn_emb = np.sin(
+        0.7 * np.arange(pl.config.hidden_size, dtype=np.float64)
+    ).astype(np.float32)
+    syn_codes = [[(i * 37 + 11) % 2048 for i in range(12)]]
+    for name, kw in (
+        ("prompt_voice_design", dict(instruct=instruct)),
+        ("prompt_custom_voice", dict(speaker=speaker, instruct=instruct)),
+        ("prompt_spk_embedding", dict(speaker_embedding=syn_emb)),
+        ("prompt_icl", dict(
+            reference_transcript="reference words spoken before",
+            reference_audio_codes=syn_codes,
+        )),
+    ):
+        mpd = prompt_mod.assemble_prompt(
+            pl.params, pl.config, pl.tokenizer, text, **kw
+        )
+        checks[name] = _stat(mpd.input_embeds)
+
     report = {
         "format_version": 1,
         "text": text,
