@@ -17,6 +17,9 @@ chip behind a load balancer.
 
 Endpoints:
   GET  /health            -> {"status": "ok", "speakers": [...]}
+  GET  /stats             -> service observability JSON (requests submitted /
+        completed / failed / cancelled, audio chunks, frames decoded, active
+        slots, backlog, uptime, worker restarts, batch configuration)
   POST /tts               -> audio/wav (one-shot; admitted into the shared
         continuous batch — concurrent requests decode together)
         body JSON: {"text": str, "speaker": str (optional),
@@ -164,11 +167,21 @@ def make_handler(pipeline: Qwen3TTSPipeline, service=None):
                 self.wfile.write(b"\r\n")
 
         def do_GET(self):  # noqa: N802 (http.server API)
-            if urlparse(self.path).path == "/health":
+            path = urlparse(self.path).path
+            if path == "/health":
                 self._send_json(
                     200,
                     {"status": "ok", "speakers": pipeline.available_speakers},
                 )
+            elif path == "/stats":
+                # service observability (counters + gauges); without a
+                # continuous-batching service only the serving mode is known
+                body = (
+                    {"mode": "service", **service.stats()}
+                    if service is not None
+                    else {"mode": "serialized"}
+                )
+                self._send_json(200, body)
             else:
                 self._send_json(404, {"error": "unknown path"})
 

@@ -42,6 +42,7 @@ from __future__ import annotations
 import itertools
 import queue
 import threading
+import time
 from collections import deque
 from dataclasses import dataclass
 
@@ -59,6 +60,29 @@ class ServiceClosed(RuntimeError):
     """The service was shut down before/while serving this request."""
 
 
+class _Stats:
+    """Thread-safe counters + gauges for service observability (the
+    reference has no serving surface at all, so no counterpart exists;
+    this backs the HTTP server's GET /stats). Counters are monotonic;
+    gauges are last-written-wins snapshots from the worker loop."""
+
+    def __init__(self):
+        self._lock = threading.Lock()
+        self._c: dict[str, int] = {}
+
+    def inc(self, name: str, by: int = 1) -> None:
+        with self._lock:
+            self._c[name] = self._c.get(name, 0) + by
+
+    def set(self, name: str, value: int) -> None:
+        with self._lock:
+            self._c[name] = int(value)
+
+    def snapshot(self) -> dict:
+        with self._lock:
+            return dict(self._c)
+
+
 @dataclass
 class _SlotView:
     """Host-side bookkeeping for one batch slot."""
@@ -72,13 +96,17 @@ class TTSRequest:
     AudioChunks (exactly one chunk has is_final=True; an Exception in the
     stream aborts it)."""
 
-    def __init__(self, pd, temperature: float, max_tokens: int, seed: int):
+    def __init__(
+        self, pd, temperature: float, max_tokens: int, seed: int, stats=None
+    ):
         self.pd = pd
         self.temperature = float(temperature)
         self.max_tokens = int(max_tokens)
         self.seed = int(seed)
         self._q: queue.Queue = queue.Queue()
         self._cancel = threading.Event()
+        self._stats = stats
+        self._done = False  # first terminal push wins the stats count
         # worker-private state (single worker thread; no locking needed);
         # buffered frames / left context / sent counts live in the worker's
         # shared _RowPacker (models/serving.py), keyed by this object
@@ -111,6 +139,25 @@ class TTSRequest:
 
     # worker-side helpers -------------------------------------------------
     def _push(self, item) -> None:
+        if self._stats is not None:
+            if isinstance(item, Exception):
+                if not self._done:
+                    self._done = True
+                    self._stats.inc(
+                        "requests_cancelled"
+                        if self.cancelled
+                        else "requests_failed"
+                    )
+            else:
+                if len(item.samples):
+                    self._stats.inc("audio_chunks_emitted")
+                if item.is_final and not self._done:
+                    self._done = True
+                    self._stats.inc(
+                        "requests_cancelled"
+                        if self.cancelled
+                        else "requests_completed"
+                    )
         self._q.put(item)
 
 
@@ -149,6 +196,8 @@ class TTSService:
         )
         self._inbox: queue.Queue = queue.Queue()
         self._stop = threading.Event()
+        self._stats = _Stats()
+        self._t0 = time.monotonic()
         self._seq = itertools.count()
         self.max_worker_restarts = max_worker_restarts
         self.worker_restarts = 0
@@ -174,13 +223,15 @@ class TTSService:
         speaker_embedding, reference_transcript, reference_audio_codes)."""
         if self._stop.is_set():
             raise ServiceClosed("service is shut down")
+        self._stats.inc("requests_submitted")
         if max_tokens is not None and max_tokens < 0:
             # negative budgets would slice frames as valid[:negative] and
             # emit audio; 0 means "no audio", served without a slot
             raise ValueError("max_tokens must be >= 0")
         pl = self.pipeline
         if max_tokens == 0:
-            req = TTSRequest(None, temperature=0.0, max_tokens=0, seed=0)
+            req = TTSRequest(None, temperature=0.0, max_tokens=0, seed=0,
+                             stats=self._stats)
             req._push(
                 AudioChunk(
                     samples=np.zeros(0, np.float32),
@@ -197,7 +248,8 @@ class TTSService:
             # too-short text: the reference returns no audio rather than an
             # error (Qwen3Talker.swift:348-352; pipeline._generate_codes
             # mirrors it) — complete immediately with an empty stream
-            req = TTSRequest(None, temperature=0.0, max_tokens=0, seed=0)
+            req = TTSRequest(None, temperature=0.0, max_tokens=0, seed=0,
+                             stats=self._stats)
             req._push(
                 AudioChunk(
                     samples=np.zeros(0, np.float32),
@@ -217,6 +269,7 @@ class TTSService:
         n = next(self._seq)
         req = TTSRequest(
             pd,
+            stats=self._stats,
             temperature=(
                 temperature
                 if temperature is not None
@@ -244,6 +297,25 @@ class TTSService:
         self._stop.set()
         self._worker.join(timeout=timeout)
 
+    def stats(self) -> dict:
+        """Observability snapshot: monotonic counters (requests submitted /
+        completed / failed / cancelled, audio chunks emitted, frames decoded,
+        decode chunks run) + live gauges (active slots, backlog) + static
+        configuration. Safe from any thread; backs GET /stats."""
+        out = self._stats.snapshot()
+        out.setdefault("requests_submitted", 0)
+        out.setdefault("requests_completed", 0)
+        out.setdefault("requests_failed", 0)
+        out.setdefault("requests_cancelled", 0)
+        out["queued"] = self._inbox.qsize()
+        out["uptime_s"] = round(time.monotonic() - self._t0, 1)
+        out["worker_restarts"] = self.worker_restarts
+        out["closed"] = self._stop.is_set()
+        out["batch_size"] = self.batch_size
+        out["prompt_bucket"] = self.prompt_bucket
+        out["trailing_bucket"] = self.trailing_bucket
+        return out
+
     # -- worker -------------------------------------------------------------
 
     def _prefill(self, req: TTSRequest) -> dict:
@@ -270,8 +342,6 @@ class TTSService:
         flight (their streams raise ServiceClosed) but the NEXT submission
         is served by a fresh lockstep batch — one bad generation must not
         turn into a permanently dead service."""
-        import time
-
         last_crash = None
         while True:
             try:
@@ -454,6 +524,7 @@ class TTSService:
                     take = max(0, min(len(valid), req.max_tokens - req.emitted))
                     valid = gen_mod.filter_valid_frames(valid[:take])
                     req.emitted += take
+                    self._stats.inc("frames_decoded", take)
                     done = bool(eos_np[slot]) or req.emitted >= req.max_tokens
                     r, empty_final = packer.feed(req, valid, done)
                     rows.extend(r)
@@ -484,6 +555,12 @@ class TTSService:
                     finish(req)
                 finishing.clear()
                 it += 1
+                self._stats.inc("decode_chunks")
+                self._stats.set(
+                    "active_slots",
+                    sum(1 for s in slots if s.req is not None),
+                )
+                self._stats.set("backlog", len(backlog))
         except Exception as e:  # propagate to every waiting consumer
             err = e if isinstance(e, ServiceClosed) else ServiceClosed(
                 f"service worker died: {type(e).__name__}: {e}"

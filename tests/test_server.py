@@ -55,6 +55,16 @@ def test_http_server_round_trip(tmp_path):
         assert r.status == 404
         r.read()
 
+        # observability: one request completed through the service so far
+        conn.request("GET", "/stats")
+        r = conn.getresponse()
+        stats = json.loads(r.read())
+        assert r.status == 200 and stats["mode"] == "service"
+        assert stats["requests_submitted"] >= 1
+        assert stats["requests_completed"] >= 1
+        assert stats["requests_failed"] == 0
+        assert stats["batch_size"] == 8 and not stats["closed"]
+
         # streaming: chunked transfer, WAV header first, PCM appended per
         # vocoder chunk (http.client reassembles the chunked body)
         conn.request("POST", "/tts?stream=1", body=body,

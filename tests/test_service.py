@@ -300,3 +300,62 @@ def test_packer_releases_completed_requests(tiny_pipeline):
         assert packer._sent == {}
     finally:
         service.close()
+
+
+def test_stats_counters(tiny_pipeline):
+    """stats() tracks the request lifecycle: submitted/completed/cancelled
+    counters, frame and chunk counts, and live gauges — and a closed
+    service reports closed=True with nothing left active."""
+    pl = tiny_pipeline
+    service = _mk_service(pl, batch_size=2)
+    try:
+        s0 = service.stats()
+        assert s0["requests_submitted"] == 0 and not s0["closed"]
+        assert s0["batch_size"] == 2
+
+        done = service.submit(TEXTS[0], "aiden", temperature=0.0, max_tokens=8)
+        audio, _ = _collect(done)
+        assert len(audio)
+
+        cancelled = service.submit(
+            TEXTS[1], "aiden", temperature=0.0, max_tokens=64
+        )
+        cancelled.cancel()
+        list(cancelled.chunks())
+
+        # empty-text requests complete immediately without a slot
+        empty = service.submit("", "aiden", temperature=0.0, max_tokens=8)
+        list(empty.chunks())
+
+        s = service.stats()
+        assert s["requests_submitted"] == 3
+        assert s["requests_completed"] == 2  # done + empty
+        assert s["requests_cancelled"] == 1
+        assert s["requests_failed"] == 0
+        assert s["audio_chunks_emitted"] >= 1
+        assert s["frames_decoded"] >= 1
+        assert s["decode_chunks"] >= 1
+        assert s["uptime_s"] >= 0
+    finally:
+        service.close()
+    s = service.stats()
+    assert s["closed"] and s["active_slots"] == 0
+
+
+def test_stats_counts_failures(tiny_pipeline):
+    """A request failed by close() lands in requests_failed, not
+    requests_completed."""
+    pl = tiny_pipeline
+    service = _mk_service(pl, batch_size=2)
+    req = service.submit(TEXTS[0], "aiden", temperature=0.0, max_tokens=400)
+    service.close()
+    failed = False
+    try:
+        list(req.chunks())
+    except ServiceClosed:
+        failed = True
+    s = service.stats()
+    if failed:
+        assert s["requests_failed"] == 1 and s["requests_completed"] == 0
+    else:  # the stream won the race and finished before the stop landed
+        assert s["requests_completed"] == 1 and s["requests_failed"] == 0
