@@ -432,12 +432,16 @@ def _maybe_service(pipeline, batch_size: int, **service_kwargs):
 
 def serve(pipeline: Qwen3TTSPipeline, port: int = 8080,
           host: str = "127.0.0.1", *, batch_size: int = 8,
-          **service_kwargs) -> ThreadingHTTPServer:
+          warmup: bool = False, **service_kwargs) -> ThreadingHTTPServer:
     """Start serving in a background thread; returns the server (call
     .shutdown() to stop — it also stops the continuous-batching worker).
     Binds localhost by default — front it with a real ingress for anything
-    public."""
+    public. warmup=True blocks until every serving jit signature is
+    compiled (TTSService.warmup) so the first real request never absorbs a
+    cold 60-300 s TPU compile."""
     service = _maybe_service(pipeline, batch_size, **service_kwargs)
+    if warmup and service is not None:
+        service.warmup()
     httpd = ThreadingHTTPServer((host, port), make_handler(pipeline, service))
     httpd.tts_service = service
     _shutdown = httpd.shutdown
@@ -454,15 +458,43 @@ def serve(pipeline: Qwen3TTSPipeline, port: int = 8080,
 
 
 def main() -> None:
-    if len(sys.argv) < 2:
-        print("usage: python -m qwen3_tts_tpu.server <model-dir> [port]")
-        raise SystemExit(2)
-    port = int(sys.argv[2]) if len(sys.argv) > 2 else 8080
-    pipeline = Qwen3TTSPipeline(sys.argv[1])
-    service = _maybe_service(pipeline, batch_size=8)
-    print(f"loaded {sys.argv[1]}; serving on http://127.0.0.1:{port}", flush=True)
+    import argparse
+
+    ap = argparse.ArgumentParser(
+        description="Qwen3-TTS HTTP server (continuous-batching service)"
+    )
+    ap.add_argument("model_dir")
+    ap.add_argument("port", nargs="?", type=int, default=8080)
+    ap.add_argument("--host", default="127.0.0.1",
+                    help="bind address (default localhost; front anything "
+                         "public with a real ingress)")
+    ap.add_argument("--batch-size", type=int, default=8,
+                    help="lockstep serving batch slots")
+    ap.add_argument("--prompt-bucket", type=int, default=None,
+                    help="fixed prompt bucket (longer prompts fall back to "
+                         "the serialized path)")
+    ap.add_argument("--trailing-bucket", type=int, default=None)
+    ap.add_argument("--warmup", action="store_true",
+                    help="compile every serving signature before accepting "
+                         "traffic")
+    args = ap.parse_args()
+
+    pipeline = Qwen3TTSPipeline(args.model_dir)
+    kw = {}
+    if args.prompt_bucket is not None:
+        kw["prompt_bucket"] = args.prompt_bucket
+    if args.trailing_bucket is not None:
+        kw["trailing_bucket"] = args.trailing_bucket
+    service = _maybe_service(pipeline, batch_size=args.batch_size, **kw)
+    if args.warmup and service is not None:
+        print("warming up serving signatures ...", flush=True)
+        service.warmup()
+    print(
+        f"loaded {args.model_dir}; serving on http://{args.host}:{args.port}",
+        flush=True,
+    )
     httpd = ThreadingHTTPServer(
-        ("127.0.0.1", port), make_handler(pipeline, service)
+        (args.host, args.port), make_handler(pipeline, service)
     )
     httpd.serve_forever()
 

@@ -297,6 +297,32 @@ class TTSService:
         self._stop.set()
         self._worker.join(timeout=timeout)
 
+    def warmup(self, max_tokens: int = 24) -> None:
+        """Compile every serving jit signature BEFORE real traffic: two
+        overlapping dummy requests cover the bootstrap prefill, the lockstep
+        decode chunk, the batched vocode, AND the mid-flight admit_stream /
+        park paths (which only compile once a request arrives while the
+        batch is running). On a cold compile cache TPU signatures take
+        60-300 s each — without this the first user requests absorb them.
+        Warmup requests count in stats() like any others."""
+        first = self.submit(
+            "Warm up the serving path with a long enough sentence.",
+            temperature=0.0, max_tokens=max_tokens, seed=0,
+        )
+        # admit mid-flight: wait for the first request's first audio so the
+        # batch is provably running, then overlap a second request
+        it = first.chunks()
+        head = next(it)
+        second = self.submit(
+            "Second warmup request joins mid-flight.",
+            temperature=0.0, max_tokens=max(1, max_tokens // 3), seed=1,
+        )
+        for _ in it:
+            pass
+        for _ in second.chunks():
+            pass
+        del head
+
     def stats(self) -> dict:
         """Observability snapshot: monotonic counters (requests submitted /
         completed / failed / cancelled, audio chunks emitted, frames decoded,

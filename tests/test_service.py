@@ -359,3 +359,23 @@ def test_stats_counts_failures(tiny_pipeline):
         assert s["requests_failed"] == 1 and s["requests_completed"] == 0
     else:  # the stream won the race and finished before the stop landed
         assert s["requests_completed"] == 1 and s["requests_failed"] == 0
+
+
+def test_warmup_compiles_all_paths(tiny_pipeline):
+    """warmup() must return (both dummy streams complete) and leave the
+    service healthy: a real request afterwards still matches the canonical
+    single-stream audio, and the warmup requests show up in stats."""
+    pl = tiny_pipeline
+    service = _mk_service(pl, batch_size=2)
+    try:
+        service.warmup(max_tokens=9)
+        s = service.stats()
+        assert s["requests_submitted"] == 2
+        assert s["requests_completed"] == 2 and s["requests_failed"] == 0
+        req = service.submit(TEXTS[0], "aiden", temperature=0.0, max_tokens=8)
+        np.testing.assert_allclose(
+            req.audio(), _expected_audio(pl, TEXTS[0], max_tokens=8),
+            rtol=1e-4, atol=1e-5,
+        )
+    finally:
+        service.close()
