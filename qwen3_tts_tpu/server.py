@@ -253,10 +253,23 @@ def make_handler(pipeline: Qwen3TTSPipeline, service=None):
             kwargs.update(_prompt_kwargs(req, pipeline))
             speaker = req.get("speaker", "")
             if service is not None:
-                from .service import ServiceClosed
+                from .service import ServiceBusy, ServiceClosed
 
                 try:
                     self._tts_service(text, speaker, kwargs, stream)
+                    return
+                except ServiceBusy as e:
+                    # backpressure, not failure: tell the client to retry
+                    # instead of queueing without bound or absorbing the
+                    # request into the serialized lock path (which would
+                    # defeat the limit)
+                    body = json.dumps({"error": str(e)}).encode()
+                    self.send_response(503)
+                    self.send_header("Retry-After", "1")
+                    self.send_header("Content-Type", "application/json")
+                    self.send_header("Content-Length", str(len(body)))
+                    self.end_headers()
+                    self.wfile.write(body)
                     return
                 except ServiceClosed:
                     # the worker exhausted its restarts (or a shutdown raced
@@ -477,6 +490,9 @@ def main() -> None:
     ap.add_argument("--warmup", action="store_true",
                     help="compile every serving signature before accepting "
                          "traffic")
+    ap.add_argument("--max-queue", type=int, default=None,
+                    help="waiting-queue bound; beyond it /tts answers 503 + "
+                         "Retry-After instead of queueing without bound")
     args = ap.parse_args()
 
     pipeline = Qwen3TTSPipeline(args.model_dir)
@@ -485,6 +501,8 @@ def main() -> None:
         kw["prompt_bucket"] = args.prompt_bucket
     if args.trailing_bucket is not None:
         kw["trailing_bucket"] = args.trailing_bucket
+    if args.max_queue is not None:
+        kw["max_queue"] = args.max_queue
     service = _maybe_service(pipeline, batch_size=args.batch_size, **kw)
     if args.warmup and service is not None:
         print("warming up serving signatures ...", flush=True)

@@ -60,6 +60,12 @@ class ServiceClosed(RuntimeError):
     """The service was shut down before/while serving this request."""
 
 
+class ServiceBusy(RuntimeError):
+    """Backpressure: the waiting queue is at max_queue; retry later (the
+    HTTP layer maps this to 503 + Retry-After rather than letting the
+    queue — and every client's latency — grow without bound)."""
+
+
 class _Stats:
     """Thread-safe counters + gauges for service observability (the
     reference has no serving surface at all, so no counterpart exists;
@@ -180,6 +186,7 @@ class TTSService:
         prompt_bucket: int | None = None,
         trailing_bucket: int | None = None,
         max_worker_restarts: int = 2,
+        max_queue: int | None = None,
     ):
         self.pipeline = pipeline
         self.batch_size = batch_size
@@ -198,6 +205,7 @@ class TTSService:
         self._stop = threading.Event()
         self._stats = _Stats()
         self._t0 = time.monotonic()
+        self.max_queue = max_queue
         self._seq = itertools.count()
         self.max_worker_restarts = max_worker_restarts
         self.worker_restarts = 0
@@ -223,6 +231,16 @@ class TTSService:
         speaker_embedding, reference_transcript, reference_audio_codes)."""
         if self._stop.is_set():
             raise ServiceClosed("service is shut down")
+        if (
+            self.max_queue is not None
+            and self._stats.snapshot().get("waiting", 0) >= self.max_queue
+        ):
+            # backpressure BEFORE prompt assembly: a rejected request must
+            # not cost device work
+            self._stats.inc("requests_rejected_busy")
+            raise ServiceBusy(
+                f"waiting queue is full ({self.max_queue}); retry later"
+            )
         self._stats.inc("requests_submitted")
         if max_tokens is not None and max_tokens < 0:
             # negative budgets would slice frames as valid[:negative] and
@@ -282,6 +300,7 @@ class TTSService:
             ),
             seed=seed if seed is not None else n,
         )
+        self._stats.inc("waiting")
         self._inbox.put(req)
         if self._stop.is_set():
             # close() raced the put: the worker may already have done its
@@ -292,8 +311,25 @@ class TTSService:
             req._push(ServiceClosed("service is shut down"))
         return req
 
-    def close(self, timeout: float = 30.0) -> None:
-        """Stop the worker; in-flight and queued requests get ServiceClosed."""
+    def close(self, timeout: float = 30.0, drain: bool = False) -> None:
+        """Stop the worker; in-flight and queued requests get ServiceClosed.
+        drain=True refuses new submissions implicitly (callers should stop
+        submitting) and waits — up to `timeout` — for the in-flight and
+        queued work to finish BEFORE stopping, so a deploy rollover does not
+        cut streams mid-utterance."""
+        if drain:
+            deadline = time.monotonic() + timeout
+            while time.monotonic() < deadline:
+                s = self.stats()
+                # counter identity, not gauges: every submitted request ends
+                # in exactly one terminal count, so this is race-free
+                if s["requests_submitted"] == (
+                    s["requests_completed"]
+                    + s["requests_failed"]
+                    + s["requests_cancelled"]
+                ):
+                    break
+                time.sleep(0.05)
         self._stop.set()
         self._worker.join(timeout=timeout)
 
@@ -333,7 +369,7 @@ class TTSService:
         out.setdefault("requests_completed", 0)
         out.setdefault("requests_failed", 0)
         out.setdefault("requests_cancelled", 0)
-        out["queued"] = self._inbox.qsize()
+        out["queued"] = max(0, out.pop("waiting", 0))
         out["uptime_s"] = round(time.monotonic() - self._t0, 1)
         out["worker_restarts"] = self.worker_restarts
         out["closed"] = self._stop.is_set()
@@ -392,6 +428,7 @@ class TTSService:
                     while True:
                         try:
                             self._inbox.get_nowait()._push(err)
+                            self._stats.inc("waiting", -1)
                         except queue.Empty:
                             return
                 self.worker_restarts += 1
@@ -478,6 +515,7 @@ class TTSService:
                     if slots[slot].req is not None:
                         continue
                     req = backlog.popleft()
+                    self._stats.inc("waiting", -1)
                     if req.cancelled:
                         finish(req)
                         continue
@@ -603,12 +641,14 @@ class TTSService:
                 req._push(err)
             finishing.clear()
             for req in backlog:
+                self._stats.inc("waiting", -1)
                 req._push(err)
             if isinstance(e, ServiceClosed):
                 # shutdown: nothing queued may hang
                 while True:
                     try:
                         self._inbox.get_nowait()._push(err)
+                        self._stats.inc("waiting", -1)
                     except queue.Empty:
                         break
                 return

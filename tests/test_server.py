@@ -507,3 +507,33 @@ def test_http_voice_modes(tmp_path):
                                    err_msg="icl lock fallback")
     finally:
         httpd2.shutdown()
+
+
+@pytest.mark.slow
+def test_backpressure_503(tmp_path):
+    """A saturated service answers 503 + Retry-After (max_queue=0 rejects
+    deterministically), never silently absorbing the request into the
+    serialized lock path."""
+    d = str(tmp_path / "m")
+    write_tiny_model_dir(d)
+    pipeline = Qwen3TTSPipeline(d, dtype=jnp.float32)
+    httpd = serve(pipeline, port=0, batch_size=2, trailing_bucket=128,
+                  max_queue=0)
+    port = httpd.server_address[1]
+    try:
+        conn = http.client.HTTPConnection("127.0.0.1", port, timeout=300)
+        conn.request("POST", "/tts", body=json.dumps(
+            {"text": "Too busy for this.", "max_tokens": 6}),
+            headers={"Content-Type": "application/json"})
+        r = conn.getresponse()
+        body = r.read()
+        assert r.status == 503
+        assert r.getheader("Retry-After") == "1"
+        assert b"error" in body
+        # stats surface the rejection
+        conn.request("GET", "/stats")
+        stats = json.loads(conn.getresponse().read())
+        assert stats["requests_rejected_busy"] == 1
+        conn.close()
+    finally:
+        httpd.shutdown()

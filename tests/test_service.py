@@ -379,3 +379,58 @@ def test_warmup_compiles_all_paths(tiny_pipeline):
         )
     finally:
         service.close()
+
+
+def test_backpressure_max_queue(tiny_pipeline):
+    """With max_queue=1, a burst beyond (slots + 1 waiting) raises
+    ServiceBusy without costing device work; once the queue drains, submits
+    are accepted again."""
+    from qwen3_tts_tpu.service import ServiceBusy
+
+    pl = tiny_pipeline
+    service = TTSService(
+        pl, batch_size=1, chunk_steps=5, decode_chunk=DC, left_context=CTX,
+        trailing_bucket=128, max_queue=1,
+    )
+    try:
+        reqs = [
+            service.submit(TEXTS[0], "aiden", temperature=0.0, max_tokens=24)
+        ]
+        # fill the waiting queue (the worker may claim the first instantly,
+        # so saturation can take a second submit)
+        rejected = None
+        for text in (TEXTS[1], TEXTS[2], TEXTS[3]):
+            try:
+                reqs.append(service.submit(
+                    text, "aiden", temperature=0.0, max_tokens=24))
+            except ServiceBusy as e:
+                rejected = e
+                break
+        assert rejected is not None, "burst of 4 into (1 slot + 1 queue) must reject"
+        s = service.stats()
+        assert s["requests_rejected_busy"] == 1
+        # rejected submissions are not counted as submitted
+        assert s["requests_submitted"] == len(reqs)
+        for r in reqs:
+            assert len(r.audio())  # accepted work still completes
+        # queue drained: accepted again
+        late = service.submit(TEXTS[4], "aiden", temperature=0.0, max_tokens=6)
+        assert len(late.audio())
+    finally:
+        service.close()
+
+
+def test_close_drain_finishes_inflight(tiny_pipeline):
+    """close(drain=True) lets in-flight requests finish: the stream ends
+    with a final chunk, never ServiceClosed."""
+    pl = tiny_pipeline
+    service = _mk_service(pl, batch_size=2)
+    req = service.submit(TEXTS[0], "aiden", temperature=0.0, max_tokens=12)
+    service.close(drain=True, timeout=300.0)
+    audio, chunks = _collect(req)  # must NOT raise
+    np.testing.assert_allclose(
+        audio, _expected_audio(pl, TEXTS[0], max_tokens=12),
+        rtol=1e-4, atol=1e-5,
+    )
+    with pytest.raises(ServiceClosed):
+        service.submit(TEXTS[1], "aiden")
