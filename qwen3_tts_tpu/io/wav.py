@@ -76,6 +76,45 @@ def wav_to_float_samples(data: bytes) -> np.ndarray:
     return pcm.astype(np.float32) / 32767.0
 
 
+def parse_wav(data: bytes) -> tuple[np.ndarray, int, int]:
+    """Strict RIFF/WAVE parse -> (float32 samples in [-1, 1] with channels
+    interleaved, sample_rate, num_channels). Raises ValueError on anything
+    that is not integer-PCM 16-bit WAV.
+
+    `wav_to_float_samples` keeps the reference's blind 44-byte skip
+    (Qwen3TTSPipeline.swift:1006-1020) for parity; this parser is for
+    UNTRUSTED boundaries (the HTTP reference-audio input), where real-world
+    files carry LIST/INFO/fact chunks after fmt and a blind skip would
+    silently decode garbage into the voice-cloning encoders."""
+    if len(data) < 12 or data[:4] != b"RIFF" or data[8:12] != b"WAVE":
+        raise ValueError("not a RIFF/WAVE file")
+    pos, fmt, pcm = 12, None, None
+    while pos + 8 <= len(data):
+        cid = data[pos: pos + 4]
+        (size,) = struct.unpack("<I", data[pos + 4: pos + 8])
+        body = data[pos + 8: pos + 8 + size]
+        if cid == b"fmt " and len(body) >= 16:
+            fmt = struct.unpack("<HHIIHH", body[:16])
+        elif cid == b"data":
+            pcm = body
+            # a streaming header's 0xFFFFFFFF sentinel means read-to-EOF
+            if size in (0xFFFFFFFF, 0xFFFFFFFF - 36):
+                pcm = data[pos + 8:]
+        pos += 8 + size + (size & 1)  # chunks are word-aligned
+    if fmt is None or pcm is None:
+        raise ValueError("WAV is missing its fmt or data chunk")
+    audio_format, channels, rate, _, _, bits = fmt
+    if audio_format != 1 or bits != 16:
+        raise ValueError(
+            f"only 16-bit integer PCM is supported "
+            f"(got format={audio_format}, bits={bits})"
+        )
+    if channels < 1:
+        raise ValueError("WAV has no channels")
+    pcm16 = np.frombuffer(pcm[: len(pcm) // 2 * 2], dtype="<i2")
+    return pcm16.astype(np.float32) / 32767.0, int(rate), int(channels)
+
+
 def read_wav(path: str | os.PathLike) -> tuple[np.ndarray, int]:
     """Read a 16-bit PCM mono WAV produced by this module."""
     with open(path, "rb") as f:

@@ -59,10 +59,10 @@ from urllib.parse import parse_qs, urlparse
 import numpy as np
 
 from .io.wav import (
+    parse_wav,
     pcm16_bytes,
     streaming_wav_header,
     wav_data,
-    wav_to_float_samples,
 )
 from .pipeline import Qwen3TTSError, Qwen3TTSPipeline
 
@@ -103,23 +103,46 @@ def _prompt_kwargs(req: dict, pipeline) -> dict:
     ref_b64 = req.get("reference_audio_b64")
     transcript = req.get("reference_transcript")
     if ref_b64 is None:
-        if transcript:
+        if transcript is not None:
             raise ValueError(
                 "'reference_transcript' requires 'reference_audio_b64'"
             )
         return kwargs
+    if instruct is not None:
+        # the prompt layout has exactly one instruct/ICL section
+        # (Qwen3Talker.swift:388-414) — accepting both and silently
+        # dropping the reference would return un-cloned audio with a 200
+        raise ValueError(
+            "'instruct' cannot be combined with 'reference_audio_b64'; "
+            "pick VoiceDesign/CustomVoice or voice cloning"
+        )
     if not isinstance(ref_b64, str):
         raise ValueError("'reference_audio_b64' must be a base64 string")
     try:
         wav_bytes = base64.b64decode(ref_b64, validate=True)
     except Exception:
         raise ValueError("'reference_audio_b64' is not valid base64") from None
-    samples = wav_to_float_samples(wav_bytes)
+    try:
+        samples, rate, channels = parse_wav(wav_bytes)
+    except ValueError as e:
+        raise ValueError(f"reference audio: {e}") from None
     if not len(samples):
-        raise ValueError("reference audio is empty or not 16-bit PCM WAV")
-    if transcript:
-        if not isinstance(transcript, str):
-            raise ValueError("'reference_transcript' must be a string")
+        raise ValueError("reference audio is empty")
+    if channels > 1:
+        # exact downmix beats rejecting every stereo recording; trim a
+        # truncated tail frame rather than failing the reshape
+        samples = samples[: len(samples) // channels * channels]
+        samples = samples.reshape(-1, channels).mean(axis=1)
+    if rate != pipeline.sample_rate:
+        raise ValueError(
+            f"reference audio must be {pipeline.sample_rate} Hz (got "
+            f"{rate}); resample it client-side"
+        )
+    if transcript is not None:
+        if not isinstance(transcript, str) or not transcript.strip():
+            raise ValueError(
+                "'reference_transcript' must be a non-empty string"
+            )
         codes = pipeline.encode_reference_audio(samples)
         if codes is None:
             raise ValueError(
@@ -159,6 +182,17 @@ def make_handler(pipeline: Qwen3TTSPipeline, service=None):
 
         def _send_json(self, code: int, obj) -> None:
             self._send(code, json.dumps(obj).encode(), "application/json")
+
+        def _send_busy(self) -> None:
+            body = json.dumps(
+                {"error": "service is at capacity; retry later"}
+            ).encode()
+            self.send_response(503)
+            self.send_header("Retry-After", "1")
+            self.send_header("Content-Type", "application/json")
+            self.send_header("Content-Length", str(len(body)))
+            self.end_headers()
+            self.wfile.write(body)
 
         def _write_chunk(self, data: bytes) -> None:
             if data:
@@ -249,6 +283,13 @@ def make_handler(pipeline: Qwen3TTSPipeline, service=None):
             if not isinstance(text, str) or not text.strip():
                 self._send_json(400, {"error": "missing 'text'"})
                 return
+            if service is not None and service.try_reject_busy():
+                # saturated: 503 BEFORE base64 decode + reference-audio
+                # encoding — a rejected cloning request must not add
+                # encoder work to an already-overloaded chip (submit's
+                # atomic reserve below stays authoritative)
+                self._send_busy()
+                return
             kwargs = _gen_kwargs(req)
             kwargs.update(_prompt_kwargs(req, pipeline))
             speaker = req.get("speaker", "")
@@ -258,18 +299,12 @@ def make_handler(pipeline: Qwen3TTSPipeline, service=None):
                 try:
                     self._tts_service(text, speaker, kwargs, stream)
                     return
-                except ServiceBusy as e:
+                except ServiceBusy:
                     # backpressure, not failure: tell the client to retry
                     # instead of queueing without bound or absorbing the
                     # request into the serialized lock path (which would
                     # defeat the limit)
-                    body = json.dumps({"error": str(e)}).encode()
-                    self.send_response(503)
-                    self.send_header("Retry-After", "1")
-                    self.send_header("Content-Type", "application/json")
-                    self.send_header("Content-Length", str(len(body)))
-                    self.end_headers()
-                    self.wfile.write(body)
+                    self._send_busy()
                     return
                 except ServiceClosed:
                     # the worker exhausted its restarts (or a shutdown raced
@@ -455,6 +490,15 @@ def serve(pipeline: Qwen3TTSPipeline, port: int = 8080,
     service = _maybe_service(pipeline, batch_size, **service_kwargs)
     if warmup and service is not None:
         service.warmup()
+    if warmup:
+        # cloning encoders compile outside the service (on the handler
+        # thread, _prompt_kwargs) — warm them too or the first cloning
+        # request absorbs their cold compiles
+        tone = np.zeros(24000, np.float32)
+        if getattr(pipeline, "speaker_encoder", None) is not None:
+            pipeline.extract_speaker_embedding(tone)
+        if getattr(pipeline, "audio_encoder", None) is not None:
+            pipeline.encode_reference_audio(tone)
     httpd = ThreadingHTTPServer((host, port), make_handler(pipeline, service))
     httpd.tts_service = service
     _shutdown = httpd.shutdown
@@ -503,18 +547,23 @@ def main() -> None:
         kw["trailing_bucket"] = args.trailing_bucket
     if args.max_queue is not None:
         kw["max_queue"] = args.max_queue
-    service = _maybe_service(pipeline, batch_size=args.batch_size, **kw)
-    if args.warmup and service is not None:
+    if args.warmup:
         print("warming up serving signatures ...", flush=True)
-        service.warmup()
+    # one wiring for embedded and CLI use: serve() owns the service
+    # lifecycle, and its wrapped shutdown() also stops the batch worker
+    httpd = serve(
+        pipeline, port=args.port, host=args.host,
+        batch_size=args.batch_size, warmup=args.warmup, **kw,
+    )
     print(
         f"loaded {args.model_dir}; serving on http://{args.host}:{args.port}",
         flush=True,
     )
-    httpd = ThreadingHTTPServer(
-        (args.host, args.port), make_handler(pipeline, service)
-    )
-    httpd.serve_forever()
+    try:
+        threading.Event().wait()  # serve() runs in its own thread
+    except KeyboardInterrupt:
+        print("shutting down ...", flush=True)
+        httpd.shutdown()
 
 
 if __name__ == "__main__":

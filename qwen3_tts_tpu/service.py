@@ -80,6 +80,14 @@ class _Stats:
         with self._lock:
             self._c[name] = self._c.get(name, 0) + by
 
+    def add_get(self, name: str, by: int = 1) -> int:
+        """Atomic increment-and-read — the admission reserve must be a
+        single operation or concurrent submits all pass a stale check."""
+        with self._lock:
+            v = self._c.get(name, 0) + by
+            self._c[name] = v
+            return v
+
     def set(self, name: str, value: int) -> None:
         with self._lock:
             self._c[name] = int(value)
@@ -113,6 +121,7 @@ class TTSRequest:
         self._cancel = threading.Event()
         self._stats = stats
         self._done = False  # first terminal push wins the stats count
+        self._done_lock = threading.Lock()
         # worker-private state (single worker thread; no locking needed);
         # buffered frames / left context / sent counts live in the worker's
         # shared _RowPacker (models/serving.py), keyed by this object
@@ -144,11 +153,20 @@ class TTSRequest:
         return np.concatenate(parts) if parts else np.zeros(0, np.float32)
 
     # worker-side helpers -------------------------------------------------
+    def _first_terminal(self) -> bool:
+        """Atomically claim the single terminal stats count (close() can
+        race the worker's shutdown drain, both pushing errors on the same
+        request — only one may count, or the drain identity breaks)."""
+        with self._done_lock:
+            if self._done:
+                return False
+            self._done = True
+            return True
+
     def _push(self, item) -> None:
         if self._stats is not None:
             if isinstance(item, Exception):
-                if not self._done:
-                    self._done = True
+                if self._first_terminal():
                     self._stats.inc(
                         "requests_cancelled"
                         if self.cancelled
@@ -157,8 +175,7 @@ class TTSRequest:
             else:
                 if len(item.samples):
                     self._stats.inc("audio_chunks_emitted")
-                if item.is_final and not self._done:
-                    self._done = True
+                if item.is_final and self._first_terminal():
                     self._stats.inc(
                         "requests_cancelled"
                         if self.cancelled
@@ -224,92 +241,119 @@ class TTSService:
         temperature: float | None = None,
         max_tokens: int | None = None,
         seed: int | None = None,
+        _bypass_queue_bound: bool = False,
         **prompt_kwargs,
     ) -> TTSRequest:
         """Queue one utterance; returns immediately with its chunk stream.
         prompt_kwargs pass through to assemble_prompt (instruct,
-        speaker_embedding, reference_transcript, reference_audio_codes)."""
+        speaker_embedding, reference_transcript, reference_audio_codes).
+        _bypass_queue_bound is internal (warmup must run even on a service
+        configured with max_queue=0)."""
         if self._stop.is_set():
             raise ServiceClosed("service is shut down")
+        # Admission reserve, ATOMIC (add_get): concurrent submits each claim
+        # a waiting slot or reject — a snapshot check-then-act would let a
+        # burst of N threads all pass on the stale count, defeating the
+        # bound exactly under the load it exists for. The reserve happens
+        # BEFORE prompt assembly so a rejected request costs no device
+        # work. Every non-enqueue exit below must release the reserve
+        # (the `ok` finally); the worker releases it for enqueued requests
+        # when it claims them.
+        waiting = self._stats.add_get("waiting")
         if (
-            self.max_queue is not None
-            and self._stats.snapshot().get("waiting", 0) >= self.max_queue
+            not _bypass_queue_bound
+            and self.max_queue is not None
+            and waiting > self.max_queue
         ):
-            # backpressure BEFORE prompt assembly: a rejected request must
-            # not cost device work
+            self._stats.inc("waiting", -1)
             self._stats.inc("requests_rejected_busy")
             raise ServiceBusy(
                 f"waiting queue is full ({self.max_queue}); retry later"
             )
-        self._stats.inc("requests_submitted")
-        if max_tokens is not None and max_tokens < 0:
-            # negative budgets would slice frames as valid[:negative] and
-            # emit audio; 0 means "no audio", served without a slot
-            raise ValueError("max_tokens must be >= 0")
-        pl = self.pipeline
-        if max_tokens == 0:
-            req = TTSRequest(None, temperature=0.0, max_tokens=0, seed=0,
-                             stats=self._stats)
-            req._push(
-                AudioChunk(
-                    samples=np.zeros(0, np.float32),
-                    token_range=(0, 0),
-                    is_final=True,
+        enqueued = False
+        try:
+            if max_tokens is not None and max_tokens < 0:
+                # negative budgets would slice frames as valid[:negative]
+                # and emit audio; 0 means "no audio", served without a slot
+                raise ValueError("max_tokens must be >= 0")
+            pl = self.pipeline
+            if max_tokens == 0:
+                req = TTSRequest(None, temperature=0.0, max_tokens=0, seed=0,
+                                 stats=self._stats)
+                self._stats.inc("requests_submitted")
+                req._push(
+                    AudioChunk(
+                        samples=np.zeros(0, np.float32),
+                        token_range=(0, 0),
+                        is_final=True,
+                    )
                 )
+                return req
+            pd = prompt_mod.assemble_prompt(
+                pl.params, pl.config, pl.tokenizer, text, speaker=speaker,
+                **prompt_kwargs,
             )
-            return req
-        pd = prompt_mod.assemble_prompt(
-            pl.params, pl.config, pl.tokenizer, text, speaker=speaker,
-            **prompt_kwargs,
-        )
-        if pd is None:
-            # too-short text: the reference returns no audio rather than an
-            # error (Qwen3Talker.swift:348-352; pipeline._generate_codes
-            # mirrors it) — complete immediately with an empty stream
-            req = TTSRequest(None, temperature=0.0, max_tokens=0, seed=0,
-                             stats=self._stats)
-            req._push(
-                AudioChunk(
-                    samples=np.zeros(0, np.float32),
-                    token_range=(0, 0),
-                    is_final=True,
+            if pd is None:
+                # too-short text: the reference returns no audio rather than
+                # an error (Qwen3Talker.swift:348-352; pipeline's
+                # _generate_codes mirrors it) — complete immediately with an
+                # empty stream
+                req = TTSRequest(None, temperature=0.0, max_tokens=0, seed=0,
+                                 stats=self._stats)
+                self._stats.inc("requests_submitted")
+                req._push(
+                    AudioChunk(
+                        samples=np.zeros(0, np.float32),
+                        token_range=(0, 0),
+                        is_final=True,
+                    )
                 )
+                return req
+            p = int(pd.input_embeds.shape[1])
+            t = int(pd.trailing_hidden.shape[1])
+            if p > self.prompt_bucket or t > self.trailing_bucket:
+                raise ValueError(
+                    f"prompt ({p} embeds / {t} trailing) exceeds service "
+                    f"buckets ({self.prompt_bucket}/{self.trailing_bucket}); "
+                    "shorten the text or run a service with larger buckets"
+                )
+            n = next(self._seq)
+            req = TTSRequest(
+                pd,
+                stats=self._stats,
+                temperature=(
+                    temperature
+                    if temperature is not None
+                    else pl.pipeline_config.default_temperature
+                ),
+                max_tokens=(
+                    max_tokens
+                    if max_tokens is not None
+                    else pl.pipeline_config.default_max_tokens
+                ),
+                seed=seed if seed is not None else n,
             )
+            # count submitted only once validation passed: a rejected or
+            # invalid submit never produces a terminal count, and
+            # close(drain=True) relies on submitted == completed+failed+
+            # cancelled holding exactly
+            self._stats.inc("requests_submitted")
+            self._inbox.put(req)
+            enqueued = True
+            if self._stop.is_set():
+                # close() raced the put: the worker may already have done
+                # its final inbox drain, so nobody would ever consume this
+                # request. Push the error directly — if the worker's drain
+                # ALSO sees it, the duplicate queue item is harmless
+                # (consumers stop at the first one) and the terminal stats
+                # count stays single (TTSRequest._push's _done latch).
+                req._push(ServiceClosed("service is shut down"))
             return req
-        p = int(pd.input_embeds.shape[1])
-        t = int(pd.trailing_hidden.shape[1])
-        if p > self.prompt_bucket or t > self.trailing_bucket:
-            raise ValueError(
-                f"prompt ({p} embeds / {t} trailing) exceeds service buckets "
-                f"({self.prompt_bucket}/{self.trailing_bucket}); shorten the "
-                "text or run a service with larger buckets"
-            )
-        n = next(self._seq)
-        req = TTSRequest(
-            pd,
-            stats=self._stats,
-            temperature=(
-                temperature
-                if temperature is not None
-                else pl.pipeline_config.default_temperature
-            ),
-            max_tokens=(
-                max_tokens
-                if max_tokens is not None
-                else pl.pipeline_config.default_max_tokens
-            ),
-            seed=seed if seed is not None else n,
-        )
-        self._stats.inc("waiting")
-        self._inbox.put(req)
-        if self._stop.is_set():
-            # close() raced the put: the worker may already have done its
-            # final inbox drain, so nobody would ever consume this request.
-            # Push the error directly — if the worker's drain ALSO sees it,
-            # the duplicate exception item is harmless (consumers stop at
-            # the first one).
-            req._push(ServiceClosed("service is shut down"))
-        return req
+        finally:
+            if not enqueued:
+                # reserve released: the request never reached the inbox
+                # (immediate completion or a validation error)
+                self._stats.inc("waiting", -1)
 
     def close(self, timeout: float = 30.0, drain: bool = False) -> None:
         """Stop the worker; in-flight and queued requests get ServiceClosed.
@@ -333,6 +377,25 @@ class TTSService:
         self._stop.set()
         self._worker.join(timeout=timeout)
 
+    @property
+    def busy(self) -> bool:
+        """True when a submit would currently be rejected by the queue
+        bound. Advisory (the atomic reserve inside submit is authoritative);
+        lets the HTTP layer 503 BEFORE paying for reference-audio encoding
+        on a saturated service."""
+        return (
+            self.max_queue is not None
+            and self._stats.snapshot().get("waiting", 0) >= self.max_queue
+        )
+
+    def try_reject_busy(self) -> bool:
+        """busy, counted: True means the caller is about to shed this
+        request — record it in requests_rejected_busy like submit() would."""
+        if self.busy:
+            self._stats.inc("requests_rejected_busy")
+            return True
+        return False
+
     def warmup(self, max_tokens: int = 24) -> None:
         """Compile every serving jit signature BEFORE real traffic: two
         overlapping dummy requests cover the bootstrap prefill, the lockstep
@@ -344,6 +407,7 @@ class TTSService:
         first = self.submit(
             "Warm up the serving path with a long enough sentence.",
             temperature=0.0, max_tokens=max_tokens, seed=0,
+            _bypass_queue_bound=True,
         )
         # admit mid-flight: wait for the first request's first audio so the
         # batch is provably running, then overlap a second request
@@ -352,6 +416,7 @@ class TTSService:
         second = self.submit(
             "Second warmup request joins mid-flight.",
             temperature=0.0, max_tokens=max(1, max_tokens // 3), seed=1,
+            _bypass_queue_bound=True,
         )
         for _ in it:
             pass
@@ -369,6 +434,8 @@ class TTSService:
         out.setdefault("requests_completed", 0)
         out.setdefault("requests_failed", 0)
         out.setdefault("requests_cancelled", 0)
+        out.setdefault("active_slots", 0)
+        out.setdefault("backlog", 0)
         out["queued"] = max(0, out.pop("waiting", 0))
         out["uptime_s"] = round(time.monotonic() - self._t0, 1)
         out["worker_restarts"] = self.worker_restarts
@@ -643,6 +710,10 @@ class TTSService:
             for req in backlog:
                 self._stats.inc("waiting", -1)
                 req._push(err)
+            # gauges must not freeze at their pre-crash values: everything
+            # this batch held was just failed
+            self._stats.set("active_slots", 0)
+            self._stats.set("backlog", 0)
             if isinstance(e, ServiceClosed):
                 # shutdown: nothing queued may hang
                 while True:

@@ -476,13 +476,28 @@ def test_http_voice_modes(tmp_path):
         pcm_parity(wav, "embedding", text="Embed my voice please.",
                    speaker_embedding=emb)
 
-        # edge validation: transcript without audio, bad base64
+        # edge validation: transcript without audio, bad base64, wrong
+        # sample rate, instruct+reference combo (one prompt section only),
+        # empty transcript
         st, _, body = post({**base, "text": "hello there world",
                             "reference_transcript": "words"})
         assert st == 400 and b"error" in body
         st, _, body = post({**base, "text": "hello there world",
                             "reference_audio_b64": "@@not-base64@@"})
         assert st == 400 and b"error" in body
+        wrong_rate = base64.b64encode(wav_data(ref_audio, 16000)).decode()
+        st, _, body = post({**base, "text": "hello there world",
+                            "reference_audio_b64": wrong_rate})
+        assert st == 400 and b"24000" in body
+        st, _, body = post({**base, "text": "hello there world",
+                            "instruct": "calm voice",
+                            "reference_audio_b64": ref_b64,
+                            "reference_transcript": "words"})
+        assert st == 400 and b"cannot be combined" in body
+        st, _, body = post({**base, "text": "hello there world",
+                            "reference_audio_b64": ref_b64,
+                            "reference_transcript": "  "})
+        assert st == 400 and b"non-empty" in body
     finally:
         httpd.shutdown()
 

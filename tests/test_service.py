@@ -434,3 +434,38 @@ def test_close_drain_finishes_inflight(tiny_pipeline):
     )
     with pytest.raises(ServiceClosed):
         service.submit(TEXTS[1], "aiden")
+
+
+def test_drain_identity_survives_rejected_submits(tiny_pipeline):
+    """Validation failures and busy rejections must not count as submitted,
+    or close(drain=True) would spin its full timeout on an idle service
+    (review finding: submitted was incremented before validation raised)."""
+    from qwen3_tts_tpu.service import ServiceBusy
+
+    pl = tiny_pipeline
+    service = TTSService(
+        pl, batch_size=1, chunk_steps=5, decode_chunk=DC, left_context=CTX,
+        trailing_bucket=128, max_queue=0,
+    )
+    try:
+        with pytest.raises(ValueError):
+            service.submit(TEXTS[0], "aiden", max_tokens=-1,
+                           _bypass_queue_bound=True)
+        with pytest.raises(ValueError):  # exceeds the 128 trailing bucket
+            service.submit("word " * 400, "aiden", max_tokens=4,
+                           _bypass_queue_bound=True)
+        with pytest.raises(ServiceBusy):  # max_queue=0 rejects
+            service.submit(TEXTS[0], "aiden", max_tokens=4)
+        ok = service.submit(TEXTS[1], "aiden", temperature=0.0, max_tokens=6,
+                            _bypass_queue_bound=True)
+        assert len(ok.audio())
+        s = service.stats()
+        assert s["requests_submitted"] == 1  # only the served one
+        assert s["requests_rejected_busy"] == 1
+        assert s["queued"] == 0  # every reserve was released
+        t0 = time.monotonic()
+        service.close(drain=True, timeout=60.0)
+        # drain returns promptly: identity holds, no timeout spin
+        assert time.monotonic() - t0 < 30.0
+    finally:
+        service.close()
