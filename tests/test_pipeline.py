@@ -260,3 +260,37 @@ def test_max_tokens_zero_means_no_audio(pipeline):
     assert chunks[-1].is_final
     many = pipeline.generate_many([TEXT, TEXT], "aiden", max_tokens=0)
     assert [len(m) for m in many] == [0, 0]
+
+
+def test_generate_unified_kwargs_match_wrappers(pipeline):
+    """generate() accepts the full prompt kwarg set (one entry point for
+    every mode — the HTTP server uses it); each mode must produce exactly
+    what the dedicated reference-parity wrapper produces."""
+    vd = pipeline.generate_voice_design(
+        TEXT, "a deep calm voice", temperature=0.0, max_tokens=6, seed=3
+    )
+    np.testing.assert_array_equal(
+        pipeline.generate(TEXT, instruct="a deep calm voice",
+                          temperature=0.0, max_tokens=6, seed=3),
+        vd,
+    )
+    cv = pipeline.generate_custom_voice(
+        TEXT, "aiden", "say it cheerfully", temperature=0.0, max_tokens=6,
+        seed=3,
+    )
+    np.testing.assert_array_equal(
+        pipeline.generate(TEXT, "aiden", instruct="say it cheerfully",
+                          temperature=0.0, max_tokens=6, seed=3),
+        cv,
+    )
+    ref_codes = [[1, 2, 3, 4]] + [[0] * 4] * 15
+    icl = pipeline.generate_icl(
+        TEXT, "reference transcript", ref_codes, temperature=0.0,
+        max_tokens=6, seed=4,
+    )
+    np.testing.assert_array_equal(
+        pipeline.generate(TEXT, reference_transcript="reference transcript",
+                          reference_audio_codes=ref_codes,
+                          temperature=0.0, max_tokens=6, seed=4),
+        icl,
+    )
