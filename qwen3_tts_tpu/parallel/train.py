@@ -26,11 +26,17 @@ from ..models.talker import _rope_cos_sin, _layer_qkv, codec_head
 
 
 def talker_forward_train(
-    params: dict, embeds: jax.Array, config: Qwen3TTSConfig
+    params: dict, embeds: jax.Array, config: Qwen3TTSConfig, remat: bool = False
 ) -> jax.Array:
     """Full-sequence causal forward over input embeds [B, T, H] -> hidden
     states [B, T, H] (layer-stacked lax.scan, same math as
-    models.talker.talker_prefill but keeping every position and no cache)."""
+    models.talker.talker_prefill but keeping every position and no cache).
+
+    remat=True wraps the per-layer scan body in `jax.checkpoint`: activations
+    are recomputed layer-by-layer in the backward pass, cutting peak training
+    memory from O(layers x B x T x H) of saved intermediates to O(1 layer) —
+    the standard TPU trade of MXU FLOPs for HBM when batch x sequence grows.
+    """
     b, t, _ = embeds.shape
     scale = 1.0 / float(config.head_dim) ** 0.5
     positions = jnp.broadcast_to(jnp.arange(t)[None, :], (b, t))
@@ -48,7 +54,7 @@ def talker_forward_train(
 
         return h + linear(lp["down_proj"], _swiglu(lp, x2, config.intermediate_size)), None
 
-    h, _ = jax.lax.scan(body, embeds, params["layers"])
+    h, _ = jax.lax.scan(jax.checkpoint(body) if remat else body, embeds, params["layers"])
     return rms_norm(h, params["norm"]["w"], config.rms_norm_eps)
 
 
@@ -56,6 +62,7 @@ def next_frame_loss(
     params: dict,
     batch: dict,
     config: Qwen3TTSConfig,
+    remat: bool = False,
 ) -> jax.Array:
     """Teacher-forced next-code-0 cross-entropy.
 
@@ -63,7 +70,7 @@ def next_frame_loss(
     assembled), "targets": [B, T] int32 code-0 ids for the NEXT position,
     "mask": [B, T] float32 1.0 where the target is real}.
     """
-    h = talker_forward_train(params, batch["embeds"], config)
+    h = talker_forward_train(params, batch["embeds"], config, remat=remat)
     logits = codec_head(params, h)  # [B, T, V] float32
     logp = jax.nn.log_softmax(logits, axis=-1)
     nll = -jnp.take_along_axis(logp, batch["targets"][..., None], axis=-1)[..., 0]
@@ -75,20 +82,23 @@ def make_optimizer(lr: float = 1e-4, weight_decay: float = 0.01):
     return optax.adamw(lr, weight_decay=weight_decay)
 
 
-def make_train_step(config: Qwen3TTSConfig, optimizer=None):
+def make_train_step(config: Qwen3TTSConfig, optimizer=None, remat: bool = False):
     """Returns jitted (params, opt_state, batch) -> (params, opt_state, loss).
 
     Shardings propagate from the arguments: place params with
     parallel.sharding.shard_params and the batch with a dp-sharded
     NamedSharding; the compiled step then runs tp/dp-parallel with XLA
-    collectives over ICI, no code changes.
+    collectives over ICI, no code changes. remat=True rematerializes layer
+    activations in backward (same numbers, lower peak HBM).
     """
     if optimizer is None:
         optimizer = make_optimizer()
 
     @functools.partial(jax.jit, donate_argnums=(0, 1))
     def step(params, opt_state, batch):
-        loss, grads = jax.value_and_grad(next_frame_loss)(params, batch, config)
+        loss, grads = jax.value_and_grad(next_frame_loss)(
+            params, batch, config, remat
+        )
         updates, opt_state = optimizer.update(grads, opt_state, params)
         params = optax.apply_updates(params, updates)
         return params, opt_state, loss
@@ -101,7 +111,9 @@ def make_train_step(config: Qwen3TTSConfig, optimizer=None):
 # ---------------------------------------------------------------------------
 
 
-def cp_forward_train(cp_params: dict, x: jax.Array, cfg) -> jax.Array:
+def cp_forward_train(
+    cp_params: dict, x: jax.Array, cfg, remat: bool = False
+) -> jax.Array:
     """Full-sequence causal forward of the code predictor for teacher
     forcing: x [N, 16, H_in] (token 0 = talker hidden, token 1 = talker codec
     embed of code 0, token k+1 = cp group-(k-1) embed of code k). Returns all
@@ -143,7 +155,7 @@ def cp_forward_train(cp_params: dict, x: jax.Array, cfg) -> jax.Array:
         ii = cfg.intermediate_size
         return h + linear(lp["down_proj"], jax.nn.silu(gu[..., :ii]) * gu[..., ii:]), None
 
-    h, _ = jax.lax.scan(body, x, cp_params["layers"])
+    h, _ = jax.lax.scan(jax.checkpoint(body) if remat else body, x, cp_params["layers"])
     return rms_norm(h, cp_params["norm"]["w"], cfg.rms_norm_eps)
 
 
@@ -152,6 +164,7 @@ def tts_loss(
     cp_params: dict,
     batch: dict,
     config: Qwen3TTSConfig,
+    remat: bool = False,
 ) -> tuple[jax.Array, dict]:
     """Joint teacher-forced TTS loss mirroring inference exactly.
 
@@ -165,7 +178,7 @@ def tts_loss(
     cp_cfg = config.code_predictor_config
     ng = cp_cfg.num_code_groups  # 16
 
-    h = talker_forward_train(params, batch["embeds"], config)  # [B, T, H]
+    h = talker_forward_train(params, batch["embeds"], config, remat=remat)  # [B, T, H]
     b, t, hdim = h.shape
     mask = batch["mask"].astype(jnp.float32)
     denom = jnp.maximum(mask.sum(), 1.0)
@@ -190,7 +203,7 @@ def tts_loss(
     x = jnp.concatenate(
         [h_flat, code0_emb, group_embs.transpose(1, 0, 2)], axis=1
     ).astype(h.dtype)  # [B*T, 16, H]
-    cp_h = cp_forward_train(cp_params, x, cp_cfg)  # [B*T, 16, Hc]
+    cp_h = cp_forward_train(cp_params, x, cp_cfg, remat=remat)  # [B*T, 16, Hc]
 
     heads = cp_params["lm_head"]["w"]  # [15, V, Hc]
     # position k+1 predicts group k+1's code via lm_head[k]
@@ -207,14 +220,15 @@ def tts_loss(
     return loss0 + loss_cp, {"code0": loss0, "cp": loss_cp}
 
 
-def make_tts_train_step(config: Qwen3TTSConfig, optimizer=None):
+def make_tts_train_step(config: Qwen3TTSConfig, optimizer=None, remat: bool = False):
     """Joint (talker + code predictor) training step; shardings propagate
-    from the argument placements like make_train_step."""
+    from the argument placements like make_train_step. remat=True
+    rematerializes both stacks' layer activations in backward."""
     if optimizer is None:
         optimizer = make_optimizer()
 
     def loss_fn(both, batch):
-        return tts_loss(both["talker"], both["cp"], batch, config)
+        return tts_loss(both["talker"], both["cp"], batch, config, remat=remat)
 
     @functools.partial(jax.jit, donate_argnums=(0, 1))
     def step(both, opt_state, batch):
