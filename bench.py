@@ -5,7 +5,8 @@ ALWAYS, even when the TPU backend cannot initialize (the round-3 capture
 died silently on a transient tunnel failure): backend init is probed with
 bounded retries, every sub-measurement is failure-contained into aux, and
 a persistent failure degrades to {"value": null, "error": ...} rather than
-a missing line.
+a missing line — with a forced-CPU tiny-model end-to-end drive recorded in
+aux.cpu_fallback so even a dead-tunnel capture carries executed evidence.
 
 Headline = end-to-end single-stream RTF at 1.7B-class dims — the BASELINE.md
 north-star metric (RTF < 0.05 on one v5e chip), measured with the reference's
@@ -548,6 +549,56 @@ def _probe_backend(aux: dict, tries: int = 4) -> None:
             time.sleep(delays[min(attempt, len(delays) - 1)])
 
 
+def _cpu_fallback_smoke(aux: dict) -> None:
+    """Last-resort EXECUTED evidence when the TPU backend is unreachable:
+    drive the full tiny-model pipeline end to end on a forced-CPU backend in
+    a SUBPROCESS (this process's backend state is poisoned by the failed
+    axon init attempts) and record the result in aux. Proof the framework
+    runs, not a perf claim — the headline metric stays null with the
+    backend error."""
+    import subprocess
+
+    code = """
+import json, sys, tempfile, time
+sys.path.insert(0, %r)
+import jax
+jax.config.update("jax_platforms", "cpu")
+import jax.numpy as jnp
+import numpy as np
+from qwen3_tts_tpu.testing import write_tiny_model_dir
+from qwen3_tts_tpu.pipeline import Qwen3TTSPipeline
+d = tempfile.mkdtemp()
+write_tiny_model_dir(d)
+pl = Qwen3TTSPipeline(d, dtype=jnp.float32)
+pl.generate("Warm the jit caches first.", "aiden", max_tokens=8, seed=3)
+t0 = time.perf_counter()
+s = pl.generate("Driver-visible CPU fallback drive.", "aiden", max_tokens=24, seed=0)
+gen_s = time.perf_counter() - t0
+s2 = pl.generate("Driver-visible CPU fallback drive.", "aiden", max_tokens=24, seed=0)
+print(json.dumps({
+    "backend": jax.default_backend(),
+    "samples": int(s.size),
+    "gen_s": round(gen_s, 3),
+    "deterministic": bool(np.array_equal(s, s2)),
+}), flush=True)
+""" % (os.path.dirname(os.path.abspath(__file__)),)
+    try:
+        r = subprocess.run(
+            [sys.executable, "-c", code],
+            timeout=int(os.environ.get("QWEN3TTS_BENCH_FALLBACK_TIMEOUT", "900")),
+            capture_output=True,
+            text=True,
+        )
+        payload = json.loads(r.stdout.strip().splitlines()[-1])
+        payload["note"] = (
+            "tiny model, forced-CPU backend: executed end-to-end evidence "
+            "only; not comparable to the TPU headline"
+        )
+        aux["cpu_fallback"] = payload
+    except Exception as e:
+        aux["cpu_fallback_error"] = f"{type(e).__name__}: {e}"[:300]
+
+
 def run_all(out: dict) -> None:
     aux = out["aux"]
     _probe_backend(aux)
@@ -723,6 +774,9 @@ def main() -> None:
         # total containment: the driver must ALWAYS have a JSON line to parse
         out["error"] = f"{type(e).__name__}: {e}"[:500]
         traceback.print_exc(file=sys.stderr)
+        if "backend_init_error" in out["aux"]:
+            # TPU unreachable: the line must still carry something EXECUTED
+            _cpu_fallback_smoke(out["aux"])
     watchdog.cancel()
     _emit_line(out)
 

@@ -350,6 +350,27 @@ class Qwen3TTSPipeline:
             trees.append(getattr(self.audio_encoder, "params", None))
         return resident_bytes(*trees)
 
+    def warmup(self, max_tokens: int = 24) -> None:
+        """Precompile the single-stream jit signatures before first real use
+        (TTSService.warmup is the serving-path analogue): one blocking and
+        one streaming dummy generation cover the short-prompt prefill
+        bucket, the jitted decode chunk, and both vocoder chunk shapes. On
+        a cold compile cache each TPU signature takes 60-300 s — without
+        this the first user call absorbs them all. Prompts landing in
+        larger length buckets still compile on first use."""
+        text = "Warm up the blocking and streaming generation paths."
+        if self.available_speakers:
+            kwargs: dict = {"speaker": self.available_speakers[0]}
+        elif self.supports_voice_design:
+            kwargs = {"instruct": "A warm, neutral narrator voice."}
+        else:
+            kwargs = {}
+        self.generate(text, max_tokens=max_tokens, seed=0, **kwargs)
+        for _ in self.generate_stream(
+            text, max_tokens=max_tokens, seed=0, **kwargs
+        ):
+            pass
+
     # -- capability surface (reference Qwen3TTSPipeline.swift:77-104) -------
 
     @property

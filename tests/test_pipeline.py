@@ -294,3 +294,14 @@ def test_generate_unified_kwargs_match_wrappers(pipeline):
                           temperature=0.0, max_tokens=6, seed=4),
         icl,
     )
+
+
+def test_warmup_compiles_and_generation_unchanged(pipeline):
+    """warmup() runs both dummy paths and does not perturb seeded results
+    (jit cache warming must be numerics-neutral)."""
+    before = pipeline.generate(TEXT, "aiden", temperature=0.0, max_tokens=6,
+                               seed=11)
+    pipeline.warmup(max_tokens=8)
+    after = pipeline.generate(TEXT, "aiden", temperature=0.0, max_tokens=6,
+                              seed=11)
+    np.testing.assert_array_equal(before, after)
