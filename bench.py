@@ -589,7 +589,15 @@ print(json.dumps({
             capture_output=True,
             text=True,
         )
-        payload = json.loads(r.stdout.strip().splitlines()[-1])
+        lines = r.stdout.strip().splitlines()
+        if r.returncode != 0 or not lines:
+            # surface the child's real failure, not an IndexError on
+            # empty stdout
+            aux["cpu_fallback_error"] = (
+                f"rc={r.returncode} stderr={r.stderr.strip()[-280:]}"
+            )
+            return
+        payload = json.loads(lines[-1])
         payload["note"] = (
             "tiny model, forced-CPU backend: executed end-to-end evidence "
             "only; not comparable to the TPU headline"
@@ -774,8 +782,10 @@ def main() -> None:
         # total containment: the driver must ALWAYS have a JSON line to parse
         out["error"] = f"{type(e).__name__}: {e}"[:500]
         traceback.print_exc(file=sys.stderr)
-        if "backend_init_error" in out["aux"]:
-            # TPU unreachable: the line must still carry something EXECUTED
+        if "backend" not in out["aux"]:
+            # backend never came up (a transient-then-recovered init leaves a
+            # stale backend_init_error behind but DOES set "backend"): the
+            # line must still carry something EXECUTED
             _cpu_fallback_smoke(out["aux"])
     watchdog.cancel()
     _emit_line(out)

@@ -489,7 +489,12 @@ def chunked_decode(
     `lengths` (per-stream valid frame counts) skips fully-dead (stream, chunk)
     rows when streams are padded to a common T — a mixed-length batch then
     costs ~its real frames, not B * T_max. The live row count is padded to a
-    multiple of 8 to bound the number of jit signatures.
+    multiple of 8 to bound the number of jit signatures; without `lengths`
+    (the blocking single-stream path, where row count = ceil(T/chunk_size)
+    varies with every generation length) it is padded to the next power of
+    two instead — compile count grows as log(T) while the padding waste is
+    bounded at <2x of a stage that is ~15% of e2e, and the common short
+    outputs (rows 1, 2) pad by zero.
     """
     codes = np.asarray(codes)
     b, nq, t = codes.shape
@@ -509,7 +514,7 @@ def chunked_decode(
     ]
     width = chunk_size + left_context
     if lengths is None:
-        n_rows = len(rows)
+        n_rows = 1 << max(0, len(rows) - 1).bit_length()  # next power of two
     else:
         n_rows = -(-len(rows) // 8) * 8  # pad rows to a multiple of 8
     batch = np.zeros((n_rows, nq, width), codes.dtype)

@@ -35,13 +35,15 @@ __all__ = [
 ]
 
 
-def _manager(directory: str, keep: int | None = None):
+def _manager(directory: str, keep: int | None = None, create: bool = False):
     import orbax.checkpoint as ocp
 
     options = ocp.CheckpointManagerOptions(
         max_to_keep=keep,
         enable_async_checkpointing=False,
-        create=True,
+        # read paths must never create the directory: a typo'd restore path
+        # would otherwise leave an empty orbax root behind as a side effect
+        create=create,
     )
     return ocp.CheckpointManager(os.path.abspath(directory), options=options)
 
@@ -68,7 +70,7 @@ def save_train_state(
     Synchronous and atomic: on return the step directory is complete."""
     import orbax.checkpoint as ocp
 
-    mgr = _manager(directory, keep=keep)
+    mgr = _manager(directory, keep=keep, create=True)
     try:
         mgr.save(step, args=ocp.args.StandardSave(state))
         mgr.wait_until_finished()
@@ -112,6 +114,8 @@ def restore_train_state(
     """
     import orbax.checkpoint as ocp
 
+    if not os.path.isdir(directory):
+        raise FileNotFoundError(f"no checkpoint directory at {directory}")
     mgr = _manager(directory)
     try:
         if step is None:

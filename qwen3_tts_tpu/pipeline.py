@@ -350,14 +350,18 @@ class Qwen3TTSPipeline:
             trees.append(getattr(self.audio_encoder, "params", None))
         return resident_bytes(*trees)
 
-    def warmup(self, max_tokens: int = 24) -> None:
+    def warmup(self, max_tokens: int = 24, max_vocoder_rows: int = 4) -> None:
         """Precompile the single-stream jit signatures before first real use
         (TTSService.warmup is the serving-path analogue): one blocking and
         one streaming dummy generation cover the short-prompt prefill
-        bucket, the jitted decode chunk, and both vocoder chunk shapes. On
-        a cold compile cache each TPU signature takes 60-300 s — without
-        this the first user call absorbs them all. Prompts landing in
-        larger length buckets still compile on first use."""
+        bucket, the jitted decode chunk, the streaming vocoder chunk, and
+        the 1-row blocking vocoder batch; zero-code chunked_decode calls
+        then warm the power-of-two vocoder row buckets up to
+        `max_vocoder_rows` (rows = ceil(frames/100), so the default 4
+        covers outputs to ~16 s of audio — longer ones compile their
+        bucket on first use, as do prompts in larger prefill-length
+        buckets). On a cold compile cache each TPU signature takes
+        60-300 s; without this the first user call absorbs them all."""
         text = "Warm up the blocking and streaming generation paths."
         if self.available_speakers:
             kwargs: dict = {"speaker": self.available_speakers[0]}
@@ -370,6 +374,14 @@ class Qwen3TTSPipeline:
             text, max_tokens=max_tokens, seed=0, **kwargs
         ):
             pass
+        chunk = int(os.environ.get("QWEN3TTS_DECODE_CHUNK_SIZE", "100"))
+        nq = self.speech_config.decoder_config.num_quantizers
+        rows = 2
+        while rows <= max_vocoder_rows:
+            self._decode_to_audio(
+                np.zeros(((rows - 1) * chunk + 1, nq), np.int32)
+            )
+            rows *= 2
 
     # -- capability surface (reference Qwen3TTSPipeline.swift:77-104) -------
 
