@@ -112,6 +112,7 @@ class Qwen3TTSPipeline:
     ):
         self.pipeline_config = configuration or Qwen3TTSPipelineConfiguration()
         model_path = os.fspath(model_path)
+        self.model_path = model_path
         self._dtype = dtype
 
         cfg_path = os.path.join(model_path, "config.json")

@@ -42,6 +42,16 @@ Endpoints:
                     "batch_size": int (default 8)} — one self-batched call
         through ContinuousServer (kept for bulk jobs; individual clients
         should just POST /tts concurrently).
+  POST /v1/audio/speech   -> OpenAI-compatible drop-in (the `audio.speech`
+        API): {"input": str, "voice": str, "instructions": str (optional ->
+        VoiceDesign/CustomVoice), "response_format": "wav" | "pcm"
+        (default wav), "stream_format": "audio" (optional -> chunked
+        streaming)}. "model" is accepted and ignored (one model per server);
+        "speed" other than 1.0 and non-PCM encodings (mp3/opus/aac/flac) are
+        rejected with a clear message. Extension params temperature /
+        max_tokens / seed pass through. Errors on /v1 paths use the OpenAI
+        envelope {"error": {"message", "type"}}.
+  GET  /v1/models         -> OpenAI-compatible model listing.
 
 Run: python -m qwen3_tts_tpu.server <model-dir> [port]
 """
@@ -50,6 +60,7 @@ from __future__ import annotations
 
 import base64
 import json
+import os
 import queue
 import sys
 import threading
@@ -207,6 +218,19 @@ def make_handler(pipeline: Qwen3TTSPipeline, service=None):
                     200,
                     {"status": "ok", "speakers": pipeline.available_speakers},
                 )
+            elif path == "/v1/models":
+                # OpenAI-compatible listing: one model per server process
+                mid = (
+                    os.path.basename(
+                        os.path.normpath(getattr(pipeline, "model_path", ""))
+                    )
+                    or "qwen3-tts"
+                )
+                self._send_json(200, {
+                    "object": "list",
+                    "data": [{"id": mid, "object": "model", "created": 0,
+                              "owned_by": "qwen3-tts-tpu"}],
+                })
             elif path == "/stats":
                 # service observability (counters + gauges); without a
                 # continuous-batching service only the serving mode is known
@@ -237,26 +261,35 @@ def make_handler(pipeline: Qwen3TTSPipeline, service=None):
                 return None
             return req
 
+        def _audio_body(self, samples, fmt: str) -> tuple[bytes, str]:
+            """One-shot audio bytes + content type for a response format."""
+            if fmt == "pcm":
+                return pcm16_bytes(np.asarray(samples)), "audio/pcm"
+            return wav_data(np.asarray(samples), pipeline.sample_rate), "audio/wav"
+
         def _tts_service(self, text: str, speaker: str, kwargs: dict,
-                         stream: bool) -> None:
+                         stream: bool, fmt: str = "wav") -> None:
             """Serve one request through the shared continuous batch: submit
             returns immediately; the worker decodes this utterance in
             lockstep with every other in-flight request."""
             handle = service.submit(text, speaker, **kwargs)
             if not stream:
                 samples = handle.audio()  # raises on failure -> do_POST maps
-                self._send(
-                    200, wav_data(samples, pipeline.sample_rate), "audio/wav"
-                )
+                self._send(200, *self._audio_body(samples, fmt))
                 return
             it = handle.chunks()
             first = next(it)  # raises pre-audio failures -> clean JSON error
             self.send_response(200)
-            self.send_header("Content-Type", "audio/wav")
+            self.send_header(
+                "Content-Type", "audio/pcm" if fmt == "pcm" else "audio/wav"
+            )
             self.send_header("Transfer-Encoding", "chunked")
             self.end_headers()
             try:
-                self._write_chunk(streaming_wav_header(pipeline.sample_rate))
+                if fmt != "pcm":
+                    self._write_chunk(
+                        streaming_wav_header(pipeline.sample_rate)
+                    )
                 chunk = first
                 while True:
                     if len(chunk.samples):
@@ -278,7 +311,7 @@ def make_handler(pipeline: Qwen3TTSPipeline, service=None):
                     pass
                 self.close_connection = True
 
-        def _tts(self, req: dict, stream: bool) -> None:
+        def _tts(self, req: dict, stream: bool, fmt: str = "wav") -> None:
             text = req.get("text", "")
             if not isinstance(text, str) or not text.strip():
                 self._send_json(400, {"error": "missing 'text'"})
@@ -297,7 +330,7 @@ def make_handler(pipeline: Qwen3TTSPipeline, service=None):
                 from .service import ServiceBusy, ServiceClosed
 
                 try:
-                    self._tts_service(text, speaker, kwargs, stream)
+                    self._tts_service(text, speaker, kwargs, stream, fmt)
                     return
                 except ServiceBusy:
                     # backpressure, not failure: tell the client to retry
@@ -327,11 +360,7 @@ def make_handler(pipeline: Qwen3TTSPipeline, service=None):
             if not stream:
                 with lock:
                     samples = pipeline.generate(text, speaker, **kwargs)
-                self._send(
-                    200,
-                    wav_data(np.asarray(samples), pipeline.sample_rate),
-                    "audio/wav",
-                )
+                self._send(200, *self._audio_body(samples, fmt))
                 return
             # Chunked streaming, decoupled from client pace: a producer
             # thread generates under the (global) lock into an unbounded
@@ -365,11 +394,16 @@ def make_handler(pipeline: Qwen3TTSPipeline, service=None):
             if isinstance(first, Exception):
                 raise first  # do_POST maps it to a 400/500 JSON response
             self.send_response(200)
-            self.send_header("Content-Type", "audio/wav")
+            self.send_header(
+                "Content-Type", "audio/pcm" if fmt == "pcm" else "audio/wav"
+            )
             self.send_header("Transfer-Encoding", "chunked")
             self.end_headers()
             try:
-                self._write_chunk(streaming_wav_header(pipeline.sample_rate))
+                if fmt != "pcm":
+                    self._write_chunk(
+                        streaming_wav_header(pipeline.sample_rate)
+                    )
                 item = first
                 while item is not None:
                     if isinstance(item, Exception):
@@ -392,6 +426,44 @@ def make_handler(pipeline: Qwen3TTSPipeline, service=None):
                 self.close_connection = True
             finally:
                 stop.set()  # abort generation if the client went away
+
+        def _openai_speech(self, req: dict) -> None:
+            """OpenAI `audio.speech` drop-in: translate the request onto the
+            internal /tts machinery (same continuous-batching service, same
+            voice-mode plumbing). Unsupported knobs are rejected with a clear
+            message rather than silently approximated: "speed" != 1.0 would
+            need time-stretching, non-PCM "response_format"s an encoder, and
+            "stream_format": "sse" a base64-JSON event framing this server
+            does not produce."""
+            text = req.get("input", "")
+            if not isinstance(text, str) or not text.strip():
+                raise ValueError("missing 'input'")
+            fmt = req.get("response_format", "wav")
+            if fmt not in ("wav", "pcm"):
+                raise ValueError(
+                    f"unsupported response_format {fmt!r}; this server "
+                    "produces uncompressed audio only: 'wav' or 'pcm'"
+                )
+            speed = req.get("speed", 1.0)
+            if not isinstance(speed, (int, float)) or float(speed) != 1.0:
+                raise ValueError("'speed' is not supported (only 1.0)")
+            stream_format = req.get("stream_format")
+            if stream_format not in (None, "audio"):
+                raise ValueError(
+                    f"unsupported stream_format {stream_format!r}; use "
+                    "'audio' for chunked audio streaming"
+                )
+            voice = req.get("voice", "")
+            if not isinstance(voice, str):
+                raise ValueError("'voice' must be a string")
+            inner = {"text": text, "speaker": voice}
+            instructions = req.get("instructions")
+            if instructions is not None:
+                inner["instruct"] = instructions
+            for k in ("temperature", "max_tokens", "seed"):  # extensions
+                if k in req:
+                    inner[k] = req[k]
+            self._tts(inner, stream=stream_format == "audio", fmt=fmt)
 
         def _tts_many(self, req: dict) -> None:
             texts = req.get("texts")
@@ -441,18 +513,32 @@ def make_handler(pipeline: Qwen3TTSPipeline, service=None):
                     self._tts(req, stream)
                 elif url.path == "/tts_many":
                     self._tts_many(req)
+                elif url.path == "/v1/audio/speech":
+                    self._openai_speech(req)
                 else:
                     self._send_json(404, {"error": "unknown path"})
             except (Qwen3TTSError, ValueError, TypeError,
                     json.JSONDecodeError) as e:
-                self._send_json(400, {"error": f"{type(e).__name__}: {e}"})
+                self._send_error(400, f"{type(e).__name__}: {e}",
+                                 "invalid_request_error")
             except BrokenPipeError:
                 pass  # client hung up mid-stream
             except Exception as e:  # XLA RuntimeError / OOM: answer, don't drop
                 try:
-                    self._send_json(500, {"error": f"{type(e).__name__}: {e}"})
+                    self._send_error(500, f"{type(e).__name__}: {e}",
+                                     "server_error")
                 except Exception:
                     pass  # headers already sent on a streaming response
+
+        def _send_error(self, code: int, message: str, etype: str) -> None:
+            """Error JSON; /v1 paths use the OpenAI envelope so official
+            SDK clients surface `error.message` instead of a parse failure."""
+            if urlparse(self.path).path.startswith("/v1/"):
+                self._send_json(
+                    code, {"error": {"message": message, "type": etype}}
+                )
+            else:
+                self._send_json(code, {"error": message})
 
         def log_message(self, fmt, *args):  # quiet by default
             pass

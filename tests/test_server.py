@@ -9,7 +9,11 @@ import jax.numpy as jnp
 import numpy as np
 import pytest
 
-from qwen3_tts_tpu.io.wav import streaming_wav_header, wav_to_float_samples
+from qwen3_tts_tpu.io.wav import (
+    streaming_wav_header,
+    wav_data,
+    wav_to_float_samples,
+)
 from qwen3_tts_tpu.pipeline import AudioChunk, Qwen3TTSError, Qwen3TTSPipeline
 from qwen3_tts_tpu.server import serve
 from qwen3_tts_tpu.testing import write_tiny_model_dir
@@ -549,6 +553,97 @@ def test_backpressure_503(tmp_path):
         conn.request("GET", "/stats")
         stats = json.loads(conn.getresponse().read())
         assert stats["requests_rejected_busy"] == 1
+        conn.close()
+    finally:
+        httpd.shutdown()
+
+
+@pytest.mark.slow
+def test_openai_compatible_endpoint(tmp_path):
+    """POST /v1/audio/speech is a drop-in for the OpenAI audio.speech API:
+    same audio as the native /tts for identical params, raw-PCM response
+    format, chunked streaming via stream_format, the /v1 error envelope,
+    and GET /v1/models."""
+    d = str(tmp_path / "speech-model")
+    write_tiny_model_dir(d)
+    pipeline = Qwen3TTSPipeline(d, dtype=jnp.float32)
+    httpd = serve(pipeline, port=0)
+    port = httpd.server_address[1]
+    hdrs = {"Content-Type": "application/json"}
+    try:
+        conn = http.client.HTTPConnection("127.0.0.1", port, timeout=300)
+        voice = pipeline.available_speakers[0]
+
+        # model listing carries the served checkpoint's directory name
+        conn.request("GET", "/v1/models")
+        r = conn.getresponse()
+        models = json.loads(r.read())
+        assert r.status == 200 and models["object"] == "list"
+        assert models["data"][0]["id"] == "speech-model"
+
+        # one-shot WAV == the native endpoint's bytes for identical params
+        params = {"temperature": 0.0, "max_tokens": 8, "seed": 5}
+        conn.request("POST", "/v1/audio/speech", body=json.dumps(
+            {"model": "ignored", "input": "Drop in compatibility.",
+             "voice": voice, **params}), headers=hdrs)
+        r = conn.getresponse()
+        v1_wav = r.read()
+        assert r.status == 200
+        assert r.getheader("Content-Type") == "audio/wav"
+        conn.request("POST", "/tts", body=json.dumps(
+            {"text": "Drop in compatibility.", "speaker": voice, **params}),
+            headers=hdrs)
+        native_wav = conn.getresponse().read()
+        assert v1_wav == native_wav
+
+        # raw PCM one-shot, and chunked streaming reassembles to the same
+        conn.request("POST", "/v1/audio/speech", body=json.dumps(
+            {"input": "Drop in compatibility.", "voice": voice,
+             "response_format": "pcm", **params}), headers=hdrs)
+        r = conn.getresponse()
+        pcm = r.read()
+        assert r.status == 200
+        assert r.getheader("Content-Type") == "audio/pcm"
+        assert len(pcm) and len(pcm) % 2 == 0  # 16-bit mono frames
+        conn.request("POST", "/v1/audio/speech", body=json.dumps(
+            {"input": "Drop in compatibility.", "voice": voice,
+             "response_format": "pcm", "stream_format": "audio", **params}),
+            headers=hdrs)
+        r = conn.getresponse()
+        streamed = r.read()  # http.client reassembles the chunked body
+        assert r.status == 200 and streamed == pcm
+
+        # instructions -> the CustomVoice prompt path. Comparison target is
+        # generate_stream (the service's decode scheme), as in
+        # test_http_voice_modes — the one-shot methods use a deliberately
+        # different chunked_decode left-context scheme.
+        conn.request("POST", "/v1/audio/speech", body=json.dumps(
+            {"input": "Follow the instruction.", "voice": voice,
+             "instructions": "Speak slowly.", **params}), headers=hdrs)
+        r = conn.getresponse()
+        wav = r.read()
+        assert r.status == 200
+        parts = [c.samples for c in pipeline.generate_stream(
+            "Follow the instruction.", voice, instruct="Speak slowly.",
+            temperature=0.0, max_tokens=8, seed=5) if len(c.samples)]
+        want = np.concatenate(parts)
+        np.testing.assert_allclose(
+            wav_to_float_samples(wav),
+            wav_to_float_samples(wav_data(want, pipeline.sample_rate)),
+            rtol=0, atol=1e-4)
+
+        # rejected knobs + the OpenAI error envelope
+        for bad in ({"voice": voice},  # missing input
+                    {"input": "x", "voice": voice, "speed": 1.5},
+                    {"input": "x", "voice": voice, "response_format": "mp3"},
+                    {"input": "x", "voice": voice, "stream_format": "sse"}):
+            conn.request("POST", "/v1/audio/speech", body=json.dumps(bad),
+                         headers=hdrs)
+            r = conn.getresponse()
+            err = json.loads(r.read())
+            assert r.status == 400, bad
+            assert err["error"]["type"] == "invalid_request_error"
+            assert isinstance(err["error"]["message"], str)
         conn.close()
     finally:
         httpd.shutdown()
