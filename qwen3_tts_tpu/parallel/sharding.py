@@ -26,11 +26,18 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 from ..config import Qwen3TTSConfig
 
 
-def make_mesh(n_devices: int | None = None, tp: int | None = None) -> Mesh:
-    """Build a (dp, tp) mesh over the first `n_devices` devices.
+def make_mesh(
+    n_devices: int | None = None, tp: int | None = None, sp: int = 1
+) -> Mesh:
+    """Build a (dp, tp) mesh over the first `n_devices` devices — or a
+    (dp, sp, tp) mesh when sp > 1 (sequence parallelism for training: the
+    batch's time axis shards over "sp"; see `shard_batch`).
 
     tp defaults to the largest power of two <= min(n_devices, 8) that divides
-    n_devices (single device => (1, 1) mesh; everything still works).
+    n_devices (single device => (1, 1) mesh; everything still works). The
+    sp=1 default keeps the two-axis ("dp", "tp") mesh every inference path
+    uses; "sp" appears as a mesh axis only when asked for, so existing
+    PartitionSpecs are unaffected.
     """
     devices = jax.devices()
     if n_devices is None:
@@ -40,11 +47,42 @@ def make_mesh(n_devices: int | None = None, tp: int | None = None) -> Mesh:
         tp = 1
         while tp * 2 <= min(n_devices, 8) and n_devices % (tp * 2) == 0:
             tp *= 2
-    if n_devices % tp != 0:
-        raise ValueError(f"n_devices {n_devices} not divisible by tp {tp}")
-    dp = n_devices // tp
-    grid = np.asarray(devices).reshape(dp, tp)
-    return Mesh(grid, axis_names=("dp", "tp"))
+    if n_devices % (tp * sp) != 0:
+        raise ValueError(
+            f"n_devices {n_devices} not divisible by tp*sp {tp * sp}"
+        )
+    dp = n_devices // (tp * sp)
+    if sp == 1:
+        grid = np.asarray(devices).reshape(dp, tp)
+        return Mesh(grid, axis_names=("dp", "tp"))
+    grid = np.asarray(devices).reshape(dp, sp, tp)
+    return Mesh(grid, axis_names=("dp", "sp", "tp"))
+
+
+def shard_batch(batch: dict, mesh: Mesh, sp: bool = False) -> dict:
+    """Place a training batch on the mesh: batch axis on "dp", and — when
+    sp=True on a mesh with an "sp" axis — the time axis on "sp" (sequence
+    parallelism). Works for both loss conventions: embeds/frames/targets/
+    mask are [B, T, ...]; unknown keys are replicated.
+
+    Sequence parallelism here is the GSPMD formulation: inputs declare the
+    T placement and XLA propagates it through norms/MLP elementwise regions,
+    inserting the attention-boundary all-gathers itself (the scaling-book
+    recipe) — there are no explicit collectives in the model code.
+    """
+    t_axis = "sp" if sp else None
+    if sp and "sp" not in mesh.axis_names:
+        raise ValueError("sp=True needs a mesh built with make_mesh(sp=...)")
+    specs = {
+        "embeds": P("dp", t_axis, None),
+        "frames": P("dp", t_axis, None),
+        "targets": P("dp", t_axis),
+        "mask": P("dp", t_axis),
+    }
+    return {
+        k: jax.device_put(v, NamedSharding(mesh, specs.get(k, P())))
+        for k, v in batch.items()
+    }
 
 
 def talker_param_pspecs(config: Qwen3TTSConfig, unfused: bool = True) -> dict:

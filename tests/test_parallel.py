@@ -257,3 +257,66 @@ def test_unfused_tp_sharding_cuts_reshard_collectives():
     assert unfused_n < fused_n or (fused_n == 0 and unfused_n == 0), (
         f"unfused {unfused_n} vs fused {fused_n} reshard collectives"
     )
+
+
+def test_mesh_with_sp_axis():
+    mesh = sh.make_mesh(8, tp=2, sp=2)
+    assert mesh.shape == {"dp": 2, "sp": 2, "tp": 2}
+    with pytest.raises(ValueError):
+        sh.make_mesh(8, tp=2, sp=3)
+    # sp=1 keeps the legacy two-axis mesh (no "sp" axis leaks into specs)
+    assert sh.make_mesh(8, tp=2).axis_names == ("dp", "tp")
+
+
+def test_tts_loss_under_sequence_parallelism():
+    """tts_loss under a (dp=2, sp=2, tp=2) mesh — time axis sharded over
+    "sp", params tp-sharded — matches the unsharded single-device loss. No
+    model-code changes: shard_batch declares the T placement and GSPMD
+    inserts the attention all-gathers."""
+    from qwen3_tts_tpu.testing import tiny_models
+
+    config, params, cp_params = tiny_models()
+    batch = _tts_batch(config, b=2, t=8)
+    loss_single, parts_single = train_mod.tts_loss(
+        params, cp_params, batch, config
+    )
+
+    mesh = sh.make_mesh(8, tp=2, sp=2)
+    sparams = sh.shard_params(params, mesh, config=config)
+    sbatch = sh.shard_batch(batch, mesh, sp=True)
+    assert sbatch["embeds"].sharding.spec == P("dp", "sp", None)
+    with mesh:
+        loss_sp, parts_sp = jax.jit(
+            train_mod.tts_loss, static_argnums=3
+        )(sparams, cp_params, sbatch, config)
+    assert jnp.allclose(loss_single, loss_sp, atol=1e-4), (loss_single, loss_sp)
+    assert jnp.allclose(parts_single["cp"], parts_sp["cp"], atol=1e-4)
+
+
+def test_tts_train_step_sp_sharded():
+    """The FULL jitted train step (grads + adamw update) compiles and runs
+    under sequence parallelism, and one step's loss matches the (dp, tp)
+    run bit-for-bit-close (same math, different placement)."""
+    from qwen3_tts_tpu.testing import tiny_models
+
+    config, params, cp_params = tiny_models()
+    batch = _tts_batch(config, b=4, t=8)  # divisible by dp=4 and by (2, 2)
+
+    def run(mesh, sp):
+        # the step donates `both`, and device_put may ALIAS source buffers
+        # (so donation would delete the shared originals) — give each run
+        # fully independent copies of both trees
+        sparams = sh.shard_params(
+            jax.tree.map(jnp.array, params), mesh, config=config
+        )
+        both = {"talker": sparams, "cp": jax.tree.map(jnp.array, cp_params)}
+        optimizer, step = train_mod.make_tts_train_step(config)
+        opt_state = jax.jit(optimizer.init)(both)
+        sbatch = sh.shard_batch(batch, mesh, sp=sp)
+        with mesh:
+            _, _, loss, _ = step(both, opt_state, sbatch)
+        return float(loss)
+
+    loss_tp = run(sh.make_mesh(8, tp=2), sp=False)
+    loss_sp = run(sh.make_mesh(8, tp=2, sp=2), sp=True)
+    assert abs(loss_tp - loss_sp) < 1e-4, (loss_tp, loss_sp)
