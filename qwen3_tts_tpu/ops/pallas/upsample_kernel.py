@@ -125,6 +125,30 @@ _PARAMS = (
 _IC_PARAMS = ("ic_w", "ic_b")
 
 
+def _erf_f32(x):
+    """f32 erf as the Eigen/XLA rational polynomial (odd p / even q over
+    x clamped to [-4, 4]) — Mosaic's TPU lowering has no `erf` primitive
+    (jax.lax.erf raises NotImplementedError in-kernel), but this is the
+    exact formula XLA's own f32 erf expands to, so in-kernel GELU matches
+    the plain-path jnp.erf to ~1 ulp. Only uses mul/add/div."""
+    x = jnp.clip(x, -4.0, 4.0)
+    x2 = x * x
+    p = np.float32(-2.72614225801306e-10)
+    for c in (
+        2.77068142495902e-08, -2.10102402082508e-06, -5.69250639462346e-05,
+        -7.34990630326855e-04, -2.95459980854025e-03, -1.60960333262415e-02,
+    ):
+        p = p * x2 + np.float32(c)
+    p = p * x
+    q = np.float32(-1.45660718464996e-05)
+    for c in (
+        -2.13374055278905e-04, -1.68282697438203e-03, -7.37332916720468e-03,
+        -1.42647390514189e-02,
+    ):
+        q = q * x2 + np.float32(c)
+    return p / q
+
+
 def _stage_kernel(*refs, cd, names):
     p = dict(zip(names, refs[: len(names)]))
     x_ref, out_ref = refs[len(names):]
@@ -170,7 +194,7 @@ def _stage_kernel(*refs, cd, names):
             g.astype(cd), p["pw1_w"][:].astype(cd), (((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
         ) + p["pw1_b"][:]
-        a = 0.5 * a * (1.0 + jax.lax.erf(a * np.float32(2**-0.5)))  # exact GELU
+        a = 0.5 * a * (1.0 + _erf_f32(a * np.float32(2**-0.5)))  # exact GELU
         o = jax.lax.dot_general(
             a.astype(cd), p["pw2_w"][:].astype(cd), (((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
