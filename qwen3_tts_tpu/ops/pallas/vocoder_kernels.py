@@ -176,15 +176,37 @@ def _units_kernel(*refs, tile: int, cd, names):
 
     b = pl.program_id(0)
     i = pl.program_id(1)
+    nt = pl.num_programs(1)
+    total = pl.num_programs(0) * nt
     w = tile + halo  # input window rows
 
-    copy = pltpu.make_async_copy(
-        x_hbm.at[b, pl.ds(i * tile, w), :], xwin, sem
-    )
-    copy.start()
-    copy.wait()
+    # Double-buffered window stream: window l+1's DMA is kicked BEFORE
+    # waiting on window l, so the HBM fetch of the next tile overlaps this
+    # tile's compute (grid steps run sequentially on TPU, so slot 1-slot's
+    # previous consumer — program l-1's compute — has already retired).
+    # The original start();wait() serialized ~every tile's DMA with the
+    # unit-chain compute.
+    l = b * nt + i
+    slot = jax.lax.rem(l, 2)
 
-    y = xwin[:].astype(jnp.float32)
+    def window_copy(ll, s):
+        bb = ll // nt
+        ii = jax.lax.rem(ll, nt)
+        return pltpu.make_async_copy(
+            x_hbm.at[bb, pl.ds(ii * tile, w), :], xwin.at[s], sem.at[s]
+        )
+
+    @pl.when(l == 0)
+    def _():
+        window_copy(0, 0).start()
+
+    @pl.when(l + 1 < total)
+    def _():
+        window_copy(l + 1, 1 - slot).start()
+
+    window_copy(l, slot).wait()
+
+    y = xwin[slot].astype(jnp.float32)
     c = u_w2.shape[-1]
     # Window rows whose sequence position i*tile + row - halo is negative
     # lie BEFORE the sequence start: the host pads them with zeros, and they
@@ -250,7 +272,7 @@ def _pick_tile(c: int, weight_bytes: int) -> int:
     ~48 MB of the 128 MB v5e VMEM for Mosaic spill slots and the
     double-buffered output blocks)."""
     budget = 80 * 2**20 - weight_bytes
-    per_row = 10 * c * 4
+    per_row = 11 * c * 4  # +1 buffer: the double-buffered input window
     t = max(256, min(8192, budget // per_row))
     return t // 8 * 8
 
@@ -309,8 +331,8 @@ def residual_units_fused(
         ),
         out_shape=jax.ShapeDtypeStruct((bsz, n_tiles * tt, out_c), out_dtype),
         scratch_shapes=[
-            pltpu.VMEM((tt + halo, c), y.dtype),
-            pltpu.SemaphoreType.DMA(()),
+            pltpu.VMEM((2, tt + halo, c), y.dtype),
+            pltpu.SemaphoreType.DMA((2,)),
         ],
         compiler_params=pltpu.CompilerParams(vmem_limit_bytes=127 * 2**20),
         interpret=pltpu.InterpretParams() if interpret else False,
