@@ -128,6 +128,9 @@ def main() -> None:
     svc = TTSService(
         pl, batch_size=B, chunk_steps=CHUNK_STEPS,
         decode_chunk=DECODE_CHUNK, left_context=8,
+        # the byte-level fake tokenizer yields ~83 trailing tokens for TEXT;
+        # the default trailing bucket (64) rejects it at submit()
+        trailing_bucket=128,
     )
     try:
         # compile warmup: every jit signature the measurement will hit
