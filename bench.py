@@ -69,6 +69,17 @@ from qwen3_tts_tpu.ops.quant import kernel_w8r_view as _view
 from qwen3_tts_tpu.utils.memory import resident_bytes
 
 
+def _sync(x) -> None:
+    """Host-readback completion barrier. block_until_ready can return
+    BEFORE device completion on this axon stack (measured: an 8192^3 matmul
+    "finished" in 0.08 ms; the r4 bench capture recorded an absurd
+    e2e_rtf_0.6b of 0.00063 the same way) — reading one element back
+    cannot. Since jit outputs materialize together, one leaf's readback
+    proves the whole executable retired."""
+    leaf = jax.tree.leaves(x)[0]
+    np.asarray(leaf[(slice(0, 1),) * leaf.ndim])
+
+
 def build_models(config: Qwen3TTSConfig, dtype, use_kernels: bool):
     """Mirror of the pipeline's default resident layout: with kernels on, the
     mega-kernels' rowwise-int8 buffers are THE layer weights (shared "w8r"
@@ -186,7 +197,7 @@ def e2e_rtf(
         codes = jnp.concatenate(frames_all, axis=0)  # [total, 16] device
         codes = jnp.clip(codes, 0, vcfg.codebook_size - 1)
         wav = voc.decode_frames_jit(voc_params, codes.T[None], vcfg)
-        wav.block_until_ready()
+        _sync(wav)  # the parity mode BILLS this final host sync
         return counts
 
     run()  # compile everything
@@ -260,7 +271,7 @@ def serving_rtf(
     # varied +-12% run-to-run; report the spread, time the min)
     for _ in range(3):
         state = fresh_state()
-        jax.block_until_ready(state)
+        _sync(state)  # prefill must NOT leak into the timed region
         emitted = 0
         t0 = time.perf_counter()
         for _ in range(n_chunks):
@@ -269,7 +280,7 @@ def serving_rtf(
             )
             emitted += int(jnp.sum(counts))  # EOS-aware
             wav = voc.decode_frames_jit(voc_params, codes, vcfg)
-        jax.block_until_ready(wav)
+        _sync(wav)
         elapsed = time.perf_counter() - t0
         samples.append(elapsed / (max(emitted, 1) * FRAME_SECONDS))
     if aux_out is not None:
@@ -424,12 +435,13 @@ def stream_consumer_rtf(
     return min(samples)
 
 
-def kernel_parity_check(config: Qwen3TTSConfig) -> dict:
-    """One greedy decode chunk, compiled mega-kernels vs the jnp path, on the
-    CURRENT backend. The CPU test suite proves parity under the Pallas
-    interpreter; this closes the 'Mosaic compiled != interpreter' gap on real
-    hardware every bench run (VERDICT r3 weak item 8). Both paths read the
-    same rowwise-int8 weights (the w8r views alias the kernel buffers)."""
+def ttfa_ms(config: Qwen3TTSConfig, voc_params, vcfg) -> float:
+    """Time-to-first-audio, ms: wall from request start to the first
+    18-frame chunk's PCM on host (prefill + one 18-step decode chunk +
+    one [1, nq, 18] vocoder call + host pull) — the BASELINE.md latency
+    target (< 200 ms TTFA) captured in the driver-visible line instead of
+    only in scripts/exp_ttfa.py. Reference first-chunk semantics:
+    Qwen3TTSPipeline.swift:520 (18-frame decode batches)."""
     dtype = jnp.bfloat16
     params, cp_params = build_models(config, dtype, use_kernels=True)
     pd = prompt_mod.assemble_prompt(
@@ -444,7 +456,60 @@ def kernel_parity_check(config: Qwen3TTSConfig) -> dict:
     trailing = jnp.zeros((1, tb, h), dtype).at[:, :t].set(pd.trailing_hidden)
     statics = gen_mod.GenStatics(
         config=config, capacity=pb + gen_mod.RING_SLACK,
-        chunk_steps=CHUNK_STEPS, track_cp_penalty=True,
+        chunk_steps=18, track_cp_penalty=False,
+    )
+    temp = jnp.float32(0.9)
+
+    def run() -> float:
+        t0 = time.perf_counter()
+        state = gen_mod.prefill(
+            params, embeds, jnp.int32(p), trailing, jnp.int32(t),
+            pd.tts_pad_embed, jax.random.PRNGKey(42), statics,
+        )
+        frames, count, eos, state = gen_mod.decode_chunk(
+            params, cp_params, state, temp, statics
+        )
+        codes = jnp.clip(frames, 0, vcfg.codebook_size - 1)
+        wav = voc.decode_frames_jit(voc_params, codes.T[None], vcfg)
+        np.asarray(wav)  # first PCM on host
+        return (time.perf_counter() - t0) * 1e3
+
+    run()  # compile
+    return min(run() for _ in range(3))
+
+
+def kernel_parity_check(config: Qwen3TTSConfig) -> dict:
+    """One greedy step, compiled mega-kernels vs the jnp path, on the CURRENT
+    backend — closes the 'Mosaic compiled != interpreter' gap on real
+    hardware every bench run (VERDICT r3 weak item 8).
+
+    QUANTITATIVE, not token-exact: both paths read the same rowwise-int8
+    weights, but the kernels run W8A8 (int8 activations) while the jnp path
+    matmuls in bf16 — different arithmetic. On random bench weights greedy
+    argmax margins are near zero (top-2 ~0.02-0.08 measured) while the
+    arithmetic difference puts next-step-logits rel RMS at ~0.11-0.19, so
+    exact frame equality is structurally impossible here (the r4 campaign's
+    first on-chip run measured 0/48 and diagnosed exactly this; token
+    equality across arithmetic tiers is the CPU-fp32 golden harness's job,
+    io/verify.py TOLERANCE_TIERS). A real layout/indexing bug produces
+    UNCORRELATED logits (rel RMS ~1.4), which the 0.35 gate catches; the
+    prefill comparison (shared jnp path, must be bit-identical) guards the
+    w8r weight views themselves."""
+    dtype = jnp.bfloat16
+    params, cp_params = build_models(config, dtype, use_kernels=True)
+    pd = prompt_mod.assemble_prompt(
+        params, config, FakeByteTokenizer(), TEXT, speaker="aiden"
+    )
+    p = int(pd.input_embeds.shape[1])
+    t = int(pd.trailing_hidden.shape[1])
+    pb = gen_mod.pick_bucket(p)
+    tb = gen_mod.pick_bucket(t, gen_mod.TRAILING_BUCKETS)
+    h = config.hidden_size
+    embeds = jnp.zeros((1, pb, h), dtype).at[:, :p].set(pd.input_embeds)
+    trailing = jnp.zeros((1, tb, h), dtype).at[:, :t].set(pd.trailing_hidden)
+    statics = gen_mod.GenStatics(
+        config=config, capacity=pb + gen_mod.RING_SLACK,
+        chunk_steps=1, track_cp_penalty=True,
     )
     args = (
         embeds, jnp.int32(p), trailing, jnp.int32(t), pd.tts_pad_embed,
@@ -452,29 +517,27 @@ def kernel_parity_check(config: Qwen3TTSConfig) -> dict:
     )
     temp = jnp.float32(0.0)
 
-    outs = []
-    for pr, cpr in (
-        (params, cp_params),
-        (
-            {k: v for k, v in params.items() if k != "kernel"},
-            {k: v for k, v in cp_params.items() if k != "kernel"},
-        ),
-    ):
-        state = gen_mod.prefill(pr, *args, statics)
-        frames, count, eos, _ = gen_mod.decode_chunk(pr, cpr, state, temp, statics)
-        n = int(count)
-        outs.append(np.asarray(frames)[:n])
-    match = outs[0].shape == outs[1].shape and bool(
-        np.array_equal(outs[0], outs[1])
-    )
-    frames_equal = (
-        int(np.sum(np.all(outs[0] == outs[1], axis=1)))
-        if outs[0].shape == outs[1].shape
-        else 0
-    )
+    def rel_rms(a, b):
+        a = np.asarray(a, np.float64)
+        b = np.asarray(b, np.float64)
+        return float(np.sqrt(np.mean((a - b) ** 2))) / (
+            float(np.sqrt(np.mean(b**2))) or 1.0
+        )
+
+    pj = {k: v for k, v in params.items() if k != "kernel"}
+    cj = {k: v for k, v in cp_params.items() if k != "kernel"}
+    sk = gen_mod.prefill(params, *args, statics)
+    sj = gen_mod.prefill(pj, *args, statics)
+    prefill_rel = rel_rms(sk["logits"], sj["logits"])
+    fk, _, _, sk = gen_mod.decode_chunk(params, cp_params, sk, temp, statics)
+    fj, _, _, sj = gen_mod.decode_chunk(pj, cj, sj, temp, statics)
+    step_rel = rel_rms(sk["logits"], sj["logits"])
+    codes_match = int(np.sum(np.asarray(fk)[0] == np.asarray(fj)[0]))
     return {
-        "tpu_kernel_vs_jnp_greedy_match": match,
-        "tpu_kernel_parity_frames": f"{frames_equal}/{len(outs[0])}",
+        "tpu_kernel_prefill_logits_rel_rms": round(prefill_rel, 6),
+        "tpu_kernel_step_logits_rel_rms_w8a8_vs_bf16": round(step_rel, 4),
+        "tpu_kernel_step_codes_match": f"{codes_match}/16",
+        "tpu_kernel_parity_ok": bool(prefill_rel < 1e-3 and step_rel < 0.35),
     }
 
 
@@ -672,6 +735,12 @@ def run_all(out: dict) -> None:
     )
     if consumer_17 is not None:
         aux["e2e_rtf_1.7b_stream_consumer"] = round(consumer_17, 5)
+    ttfa_17 = phase(
+        "ttfa_1.7b",
+        lambda: ttfa_ms(Qwen3TTSConfig.standard_1_7b(), voc_params, vcfg),
+    )
+    if ttfa_17 is not None:
+        aux["ttfa_1.7b_ms"] = round(ttfa_17, 1)
     srv_rtf = phase(
         "serving_rtf",
         lambda: serving_rtf(
