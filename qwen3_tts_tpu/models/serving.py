@@ -731,26 +731,36 @@ class _RowPacker:
         return rows, empty_final
 
 
-def vocode_rows(rows, batch_size: int, vocoder_params: dict, decoder_cfg,
-                ng: int, width: int):
-    """Batched fixed-signature vocode of _RowPacker rows: every call is
-    [batch_size, nq, width] (ONE jit signature for the stream's lifetime);
-    >batch_size ready rows just take extra calls. Yields
-    (key, samples float32 in [-1, 1], token_range, is_final) per row, with
-    the context frames' samples dropped and NaN/Inf scrubbed (reference
-    consumer semantics, Qwen3TTSPipeline.swift:565-580)."""
+def vocode_rows_dispatch(rows, batch_size: int, vocoder_params: dict,
+                         decoder_cfg, ng: int, width: int):
+    """DISPATCH the batched fixed-signature vocode calls without pulling the
+    PCM: returns [(wav_device, group), ...]. Splitting dispatch from the
+    host readback lets TTSService overlap the PCM pull (~3 MB per boundary
+    at B=16 — ~120 ms on this throttled host, the dominant boundary cost in
+    the r4 service-TTFA measurement) with the next decode chunk."""
     from . import vocoder as voc
 
-    spf = decoder_cfg.total_upsample
+    out = []
     for g0 in range(0, len(rows), batch_size):
         group = rows[g0: g0 + batch_size]
         batch = np.zeros((batch_size, ng, width), np.int32)
         for i, (_key, row, _d, _m, _tr, _f) in enumerate(group):
             batch[i] = row.T
-        wav = np.asarray(
+        out.append((
             voc.decode_frames_jit(vocoder_params, jnp.asarray(batch),
-                                  decoder_cfg)
-        )
+                                  decoder_cfg),
+            group,
+        ))
+    return out
+
+
+def resolve_vocoded(dispatched, spf: int):
+    """Pull dispatched vocode batches to host and yield
+    (key, samples float32 in [-1, 1], token_range, is_final) per row, with
+    the context frames' samples dropped and NaN/Inf scrubbed (reference
+    consumer semantics, Qwen3TTSPipeline.swift:565-580)."""
+    for wav_dev, group in dispatched:
+        wav = np.asarray(wav_dev)
         for i, (key, _row, drop, m, t_range, final) in enumerate(group):
             yield (
                 key,
@@ -758,6 +768,20 @@ def vocode_rows(rows, batch_size: int, vocoder_params: dict, decoder_cfg,
                 t_range,
                 final,
             )
+
+
+def vocode_rows(rows, batch_size: int, vocoder_params: dict, decoder_cfg,
+                ng: int, width: int):
+    """Batched fixed-signature vocode of _RowPacker rows: every call is
+    [batch_size, nq, width] (ONE jit signature for the stream's lifetime);
+    >batch_size ready rows just take extra calls. Synchronous form of
+    vocode_rows_dispatch + resolve_vocoded."""
+    yield from resolve_vocoded(
+        vocode_rows_dispatch(
+            rows, batch_size, vocoder_params, decoder_cfg, ng, width
+        ),
+        decoder_cfg.total_upsample,
+    )
 
 
 class ContinuousServer:

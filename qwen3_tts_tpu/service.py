@@ -464,6 +464,52 @@ class TTSService:
             self.statics,
         )
 
+    def _prefill_bootstrap(self, placed: dict[int, "TTSRequest"]) -> dict:
+        """ONE full-B prefill for a bootstrap burst (state is None, `placed`
+        maps slot -> request for the first len(placed) slots). A burst of B
+        arrivals into an idle service previously dispatched B sequential
+        B=1 prefills plus B-1 parked-state zero trees — on the throttled
+        host that serialized ~16 dispatch chains and re-streamed the talker
+        weights per request, the dominant share of the measured 2.4 s burst
+        TTFA at B=16 (scripts/exp_service_ttfa.py, r4). One batched call
+        streams the weights once and compiles exactly one extra signature
+        (covered by warmup's first request). Rows are independent through
+        prefill_batched (the same invariant ContinuousServer's full-B
+        prefill parity tests prove), so per-request greedy parity is
+        unchanged. Unoccupied rows replicate row 0's prompt with seed 0 —
+        numerically safe garbage that admit_stream overwrites wholesale;
+        lockstep decode costs the same whether a row is parked or junk."""
+        b = self.batch_size
+        ref_pd = next(iter(placed.values())).pd
+        dtype = ref_pd.input_embeds.dtype
+        h = ref_pd.input_embeds.shape[2]
+        e = jnp.zeros((b, self.prompt_bucket, h), dtype)
+        tr = jnp.zeros((b, self.trailing_bucket, h), dtype)
+        lengths = np.zeros((b,), np.int32)
+        totals = np.zeros((b,), np.int32)
+        seeds = np.zeros((b,), np.int64)
+        for slot, req in placed.items():
+            pd = req.pd
+            p = int(pd.input_embeds.shape[1])
+            t = int(pd.trailing_hidden.shape[1])
+            e = e.at[slot, :p].set(pd.input_embeds[0])
+            tr = tr.at[slot, :t].set(pd.trailing_hidden[0])
+            lengths[slot] = p
+            totals[slot] = t
+            seeds[slot] = req.seed
+        # unoccupied rows: row 0's shape-valid prompt (never emitted)
+        ref_slot = next(iter(placed))
+        for slot in range(b):
+            if slot not in placed:
+                lengths[slot] = lengths[ref_slot]
+                totals[slot] = totals[ref_slot]
+        return srv.prefill_batched(
+            self.pipeline.params, e, jnp.asarray(lengths), tr,
+            jnp.asarray(totals), ref_pd.tts_pad_embed,
+            jax.vmap(jax.random.PRNGKey)(jnp.asarray(seeds)),
+            self.statics,
+        )
+
     def _run(self) -> None:
         """Worker thread: serve until shutdown, restarting after an
         unexpected crash (XLA runtime error, poisoned request) up to
@@ -505,11 +551,78 @@ class TTSService:
         b = self.batch_size
         dec_cfg = pl.speech_config.decoder_config
         ng = pl.config.code_predictor_config.num_code_groups
+        spf = dec_cfg.total_upsample
         # row packing + batched vocode shared with serve_audio — ONE
         # implementation of the buffer-and-batch scheme (review finding:
         # the two paths had drifted)
         packer = srv._RowPacker(ng, self.decode_chunk, self.left_context)
         self._packer = packer  # exposed for leak tests (lifetime = worker)
+
+        # PCM delivery runs on its own thread: the per-boundary host pull
+        # (~3 MB of float32 at B=16, ~120 ms on this throttled host — the
+        # dominant boundary cost in the r4 service-TTFA measurement) now
+        # overlaps the next decode chunk instead of serializing the worker
+        # loop. Per-request ordering is preserved because ALL audio and
+        # final pushes for slot-served requests flow through this one FIFO.
+        pq: queue.Queue = queue.Queue()
+        pull_err: list = [None]
+
+        def _pull_loop() -> None:
+            while True:
+                item = pq.get()
+                if item is None:
+                    return
+                dispatched, final_pushes = item
+                try:
+                    for key, samples, t_range, final in srv.resolve_vocoded(
+                        dispatched, spf
+                    ):
+                        key._push(
+                            AudioChunk(
+                                samples=samples,
+                                token_range=t_range,
+                                is_final=final,
+                            )
+                        )
+                    for req, t0 in final_pushes:
+                        req._push(
+                            AudioChunk(
+                                samples=np.zeros(0, np.float32),
+                                token_range=(t0, t0),
+                                is_final=True,
+                            )
+                        )
+                except Exception as e:  # device error surfaces at readback
+                    err = ServiceClosed(
+                        f"audio delivery failed: {type(e).__name__}: {e}"
+                    )
+                    for _, group in dispatched:
+                        for key, *_ in group:
+                            key._push(err)
+                    for req, _ in final_pushes:
+                        req._push(err)
+                    # fail everything still queued, then hand the error to
+                    # the worker (next iteration raises -> restart path)
+                    while True:
+                        try:
+                            nxt = pq.get_nowait()
+                        except queue.Empty:
+                            break
+                        if nxt is None:
+                            break
+                        d2, f2 = nxt
+                        for _, group in d2:
+                            for key, *_ in group:
+                                key._push(err)
+                        for req, _ in f2:
+                            req._push(err)
+                    pull_err[0] = e
+                    return
+
+        puller = threading.Thread(
+            target=_pull_loop, name="tts-service-pull", daemon=True
+        )
+        puller.start()
 
         slots = [_SlotView() for _ in range(b)]
         backlog: deque[TTSRequest] = deque()
@@ -555,6 +668,8 @@ class TTSService:
 
         try:
             while True:
+                if pull_err[0] is not None:
+                    raise pull_err[0]  # restart with a fresh batch + puller
                 if self._stop.is_set():
                     raise ServiceClosed("service is shut down")
 
@@ -575,7 +690,7 @@ class TTSService:
                     except queue.Empty:
                         break
 
-                bootstrap: dict[int, dict] = {}
+                bootstrap: dict[int, TTSRequest] = {}
                 for slot in range(b):
                     if not backlog:
                         break
@@ -592,22 +707,21 @@ class TTSService:
                     # block forever on a queue nobody ever feeds)
                     temps[slot] = req.temperature
                     slots[slot].req = req
-                    fresh = self._prefill(req)  # queues behind the chunk
                     if state is None:
-                        bootstrap[slot] = fresh
+                        # batched below: ONE full-B prefill for the whole
+                        # bootstrap burst instead of per-request B=1 calls
+                        bootstrap[slot] = req
                         slots[slot].active_from = 0
-                    elif pending is None:
+                        continue
+                    fresh = self._prefill(req)  # queues behind the chunk
+                    if pending is None:
                         ops.append(("admit", slot, fresh))
                         slots[slot].active_from = it
                     else:
                         ops.append(("admit", slot, fresh))
                         slots[slot].active_from = it + 1
                 if bootstrap:
-                    ref = next(iter(bootstrap.values()))
-                    state = srv.concat_states([
-                        bootstrap.get(i) or srv.parked_state(ref)
-                        for i in range(b)
-                    ])
+                    state = self._prefill_bootstrap(bootstrap)
 
                 if state is None:
                     continue
@@ -668,22 +782,22 @@ class TTSService:
                             ops.append(("park", slot))
 
                 # batched vocode, fixed [B, nq, width] signature; >B ready
-                # rows (bursts) just take extra calls
-                for req, samples, t_range, final in srv.vocode_rows(
+                # rows (bursts) just take extra calls. Only DISPATCHED here:
+                # the puller thread pulls the PCM and pushes the chunks, so
+                # the pull overlaps the already-in-flight next decode chunk.
+                dispatched = srv.vocode_rows_dispatch(
                     rows, b, pl.vocoder_params, dec_cfg, ng, packer.width
-                ):
-                    req._push(
-                        AudioChunk(
-                            samples=samples,
-                            token_range=t_range,
-                            is_final=final,
-                        )
-                    )
-                    if final and req in finishing:
-                        finishing.remove(req)
-                        packer.release(req)
+                )
+                final_pushes = []
                 for req in empty_finals:
-                    finish(req)
+                    final_pushes.append((req, packer.sent(req)))
+                if dispatched or final_pushes:
+                    pq.put((dispatched, final_pushes))
+                # bookkeeping AFTER the puller owns delivery: a crash from
+                # here on must not double-own these requests (the handler
+                # errors `finishing`; the puller delivers enqueued items)
+                for req in finishing:  # includes the empty_finals
+                    packer.release(req)
                 finishing.clear()
                 it += 1
                 self._stats.inc("decode_chunks")
@@ -693,6 +807,12 @@ class TTSService:
                 )
                 self._stats.set("backlog", len(backlog))
         except Exception as e:  # propagate to every waiting consumer
+            # stop this generation's puller first, letting already-enqueued
+            # audio flush (close(drain=True) relies on terminal counts that
+            # the puller pushes); a wedged readback only costs the timeout —
+            # the error pushes below still free every consumer
+            pq.put(None)
+            puller.join(timeout=30.0 if isinstance(e, ServiceClosed) else 5.0)
             err = e if isinstance(e, ServiceClosed) else ServiceClosed(
                 f"service worker died: {type(e).__name__}: {e}"
             )
