@@ -166,6 +166,42 @@ def _snake(x, a, binv):
     return x + binv * (s * s)
 
 
+_INV_2PI = np.float32(1.0 / (2.0 * np.pi))
+_2PI = np.float32(2.0 * np.pi)
+# even minimax polynomial for cos(r), r in [-pi, pi] (~1e-5 max err)
+_COS_C = tuple(
+    np.float32(c)
+    for c in (-2.605e-07, 2.47609e-05, -1.3888397e-03, 4.16666418e-02,
+              -4.999999963e-01, 1.0)
+)
+
+
+def _snake_fast(x, a, binv):
+    """SnakeBeta via sin^2(z) = (1 - cos(2z))/2 with cos as a range-reduced
+    even polynomial. Mosaic's sin lowering dominated the fused units kernel
+    (block-3 shapes: 6.67 ms with jnp.sin, 2.86 with the snakes removed,
+    2.75 with this polynomial — sin was 57% of the kernel, r4
+    scripts/exp_units_variants.py); the polynomial makes the activation
+    essentially free. Accuracy: ~3e-4 abs per application, ~0.6% of signal
+    scale through a full 3-unit chain — below the bf16 tier the production
+    path already runs at (matmuls are bf16; on-chip kernel-vs-jnp rel RMS
+    gate is 5%). The exact `_snake` stays the fp32 parity path."""
+    z = x * (2.0 * a)
+    # explicit round, NOT the (q + 1.5*2^23) - 1.5*2^23 magic-number trick:
+    # the Pallas interpreter evaluates kernel math above f32 precision, so
+    # the magic add never sheds the fraction and the whole activation
+    # silently degenerated to identity in interpret mode (caught by
+    # test_fused_block_bf16_polynomial_snake_close)
+    q = jax.lax.round(z * _INV_2PI, jax.lax.RoundingMethod.TO_NEAREST_EVEN)
+    r = z - q * _2PI
+    r2 = r * r
+    c = jnp.full_like(r2, _COS_C[0])
+    for coef in _COS_C[1:]:
+        c = c * r2 + coef
+    b2 = 0.5 * binv
+    return x + b2 - b2 * c
+
+
 def _units_kernel(*refs, tile: int, cd, names):
     p = dict(zip(names, refs[: len(names)]))
     x_hbm, out_ref, xwin, sem = refs[len(names):]
@@ -206,6 +242,9 @@ def _units_kernel(*refs, tile: int, cd, names):
 
     window_copy(l, slot).wait()
 
+    # exact sin at fp32 compute (the parity-test mode); the polynomial
+    # snake on the production bf16 path (see _snake_fast)
+    snake = _snake if cd == jnp.float32 else _snake_fast
     y = xwin[slot].astype(jnp.float32)
     c = u_w2.shape[-1]
     # Window rows whose sequence position i*tile + row - halo is negative
@@ -219,7 +258,7 @@ def _units_kernel(*refs, tile: int, cd, names):
     y = jnp.where(valid, y, 0.0)
 
     for u, dil in enumerate(DILATIONS):
-        h = _snake(y, u_a1[u], u_binv1[u]).astype(cd)
+        h = snake(y, u_a1[u], u_binv1[u]).astype(cd)
         hp = jnp.concatenate([jnp.zeros((6 * dil, c), cd), h], axis=0)
         conv = jnp.zeros((w, c), jnp.float32) + u_b1[u]
         for k in range(7):
@@ -229,7 +268,7 @@ def _units_kernel(*refs, tile: int, cd, names):
                 (((1,), (0,)), ((), ())),
                 preferred_element_type=jnp.float32,
             )
-        h2 = _snake(conv, u_a2[u], u_binv2[u]).astype(cd)
+        h2 = snake(conv, u_a2[u], u_binv2[u]).astype(cd)
         y = y + (
             jax.lax.dot_general(
                 h2, u_w2[u].astype(cd), (((1,), (0,)), ((), ())),
@@ -245,7 +284,7 @@ def _units_kernel(*refs, tile: int, cd, names):
         # rows >= halo - 6 = 82, which have the full unit-chain receptive
         # field (78) — that is what _HALO_TAIL buys. Pre-sequence rows are
         # zero (see `valid`), matching the reference's left zero padding.
-        ys = _snake(y[halo - 6 :], p["t_a"][:], p["t_binv"][:]).astype(cd)
+        ys = snake(y[halo - 6 :], p["t_a"][:], p["t_binv"][:]).astype(cd)
         wav = jnp.zeros((tile, 1), jnp.float32) + p["t_b"][:]
         for k in range(7):
             wav = wav + jax.lax.dot_general(

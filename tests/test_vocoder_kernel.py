@@ -72,6 +72,42 @@ def test_fused_block_matches_jnp(rate, cin, cout, t, b):
     np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=2e-5, rtol=2e-5)
 
 
+def test_fused_block_bf16_polynomial_snake_close():
+    """The production (bf16 compute) kernel path swaps jnp.sin for the
+    range-reduced polynomial snake (_snake_fast — Mosaic's sin lowering was
+    57% of the units kernel on v5e, scripts/exp_units_variants.py). It must
+    stay within the bf16 production tier of the exact jnp block: the
+    on-chip bench gate is 5% rel RMS; assert 2% here."""
+    rate, cin, cout, t = 4, 16, 8, 50
+    key = jax.random.PRNGKey(5)
+    block = make_block(key, cin, cout, rate)
+    x = jax.random.normal(jax.random.fold_in(key, 1), (1, t, cin), jnp.float32)
+    ref = np.asarray(ref_block(block, x, rate), np.float64)
+    kp = jax.tree.map(jnp.asarray, build_seanet_block_kernel_params(block, rate))
+    got = np.asarray(
+        seanet_block_fused(
+            kp, x, rate=rate, cout=cout, compute_dtype=jnp.bfloat16,
+            interpret=True,
+        ),
+        np.float64,
+    )
+    rel = np.sqrt(np.mean((got - ref) ** 2)) / (np.sqrt(np.mean(ref**2)) or 1)
+    assert rel < 0.02, rel
+
+
+def test_fast_snake_accuracy():
+    """_snake_fast vs the exact snake over a wide argument range: ~3e-4 abs
+    (f32 range reduction + the polynomial's ~1e-5), far inside bf16
+    resolution."""
+    from qwen3_tts_tpu.ops.pallas.vocoder_kernels import _snake, _snake_fast
+
+    x = jnp.asarray(np.linspace(-200, 200, 200001), jnp.float32)
+    a = jnp.float32(1.7)
+    binv = jnp.float32(0.8)
+    d = np.abs(np.asarray(_snake(x, a, binv) - _snake_fast(x, a, binv)))
+    assert d.max() < 1e-3, d.max()
+
+
 def test_fused_block_tiled_matches_untiled():
     """Multi-tile halo recompute must be exact: small forced tile == one tile."""
     rate, cin, cout, t = 5, 8, 16, 64
