@@ -312,14 +312,18 @@ def _warn_pretransformer_fallback(b: int, t: int) -> None:
 
 def vocoder_kernel_batch_flags(b: int) -> tuple[bool, bool]:
     """(batch_ok, pt_batch_ok) for a batch-B chunk per the
-    QWEN3TTS_VOCODER_KERNEL_BATCH A/B knob: unset -> kernels at B=1 only;
-    =1 -> every kernel at any B; =pt -> only the pre-transformer at B>1.
-    Shared by decode_frames and scripts/exp_vocoder_stages2.py so the
-    measurement script cannot drift from the production gates."""
+    QWEN3TTS_VOCODER_KERNEL_BATCH A/B knob: unset or =1 -> every kernel at
+    any B (the default since the polynomial SnakeBeta flipped the serving-
+    batch verdict: B=32 T=48 fused 137 ms vs plain 189, B=32 T=26 fused 82
+    vs plain 103 on v5e); =0/plain -> kernels at B=1 only (the pre-
+    polynomial default, kept as the A/B baseline arm); =pt -> only the
+    pre-transformer at B>1. Shared by decode_frames and
+    scripts/exp_vocoder_stages2.py so the measurement script cannot drift
+    from the production gates."""
     import os
 
     kb = os.environ.get("QWEN3TTS_VOCODER_KERNEL_BATCH")
-    batch_ok = b == 1 or kb == "1"
+    batch_ok = b == 1 or kb == "1" or kb not in ("0", "plain", "pt")
     return batch_ok, batch_ok or kb == "pt"
 
 
@@ -351,12 +355,14 @@ def decode_frames(
     same convention as the talker/cp mega-kernels, models/generate.py)."""
     if kernel_interpret is None:
         kernel_interpret = jax.default_backend() != "tpu"
-    # The fused kernels default to single-stream (B=1): at serving batch the
-    # SEANet kernels measured slower than XLA's batched convs (B=32 T=48:
-    # 253 vs 189 ms). QWEN3TTS_VOCODER_KERNEL_BATCH=1 lifts the B=1 gate on
-    # every kernel for A/B measurement; =pt lifts ONLY the pre-transformer
-    # (its layer-outer grid makes batch viable — measure it without the
-    # known-losing batched SEANet arms in the same run).
+    # The fused kernels run at EVERY batch size by default: the polynomial
+    # SnakeBeta flipped the serving-batch verdict (B=32 T=48 fused 137 ms vs
+    # plain 189; B=32 T=26 fused 82 vs 103 — the sin-based kernels lost 254
+    # vs 189). QWEN3TTS_VOCODER_KERNEL_BATCH=0/plain restores the B=1-only
+    # gate as the A/B baseline arm; =pt keeps ONLY the pre-transformer at
+    # B>1. NOTE: the first compile of a fused B=32 signature takes ~28 min
+    # on the remote Mosaic compiler — warmup()/the persistent jax cache make
+    # it once-per-cache.
     batch_ok, pt_batch_ok = vocoder_kernel_batch_flags(codes.shape[0])
     h = rvq_decode(params["quantizer"], codes)            # [B, T, 512]
     h = causal_conv1d(params["pre_conv"], h)              # [B, T, 1024]
@@ -366,8 +372,8 @@ def decode_frames(
     # every chunk length measured on v5e (the old per-head variant lost past
     # T=64). Its (layer, batch-innermost) grid fetches each layer's weight
     # block once and reuses it across batch rows, so B>1 is structurally
-    # fine — but it stays behind the same QWEN3TTS_VOCODER_KERNEL_BATCH A/B
-    # knob as the other kernels until it measures a win at serving batch.
+    # fine and on by default with the other kernels (B=32 T=48: the fused
+    # head stages measure 6.4 ms vs plain's ~15).
     # Past nh*T = 2048 the quadratic score/softmax intermediate runs in row
     # STRIPS, lifting the old T<=128 cap to PACKED_T_CAP (=512); only beyond
     # that (or past the B*T residual-scratch cap) does the jnp path take
@@ -429,9 +435,8 @@ def decode_frames(
             h = convnext_block(stage["convnext"], h)
 
     wav = h if ic_folded else left_pad_conv1d(params["decoder"]["initial_conv"], h)
-    # Fused SEANet blocks win single-stream (B=1 T=96: 16.9 ms vs 22.6 plain
-    # on v5e) but lose at serving batch (B=32 T=48: 253 vs 189) where XLA's
-    # batched convs amortize — B=1 only.
+    # Fused SEANet blocks win at every measured shape since the polynomial
+    # snake (B=1 T=106: 9.3 ms vs 24.2 plain; B=32 T=48: 137 vs 189 on v5e).
     if kernel is not None and kernel.get("blocks") is not None and batch_ok:
         from ..ops.pallas.vocoder_kernels import seanet_block_fused
 

@@ -137,3 +137,22 @@ def test_speech_tokenizer_decode_lengths():
     )
     assert wav.shape == (2, t * cfg.total_upsample)
     assert lengths.tolist() == [4 * cfg.total_upsample, t * cfg.total_upsample]
+
+
+def test_vocoder_kernel_batch_flags_default_and_knob(monkeypatch):
+    """The serving-batch gate defaults to kernels-at-any-B (the polynomial
+    SnakeBeta flipped the measured verdict: B=32 T=48 fused 137 ms vs plain
+    189 on v5e); =0/plain restores the B=1-only baseline arm; =pt keeps only
+    the pre-transformer at B>1; =1 is the explicit all-kernels form."""
+    monkeypatch.delenv("QWEN3TTS_VOCODER_KERNEL_BATCH", raising=False)
+    assert voc.vocoder_kernel_batch_flags(1) == (True, True)
+    assert voc.vocoder_kernel_batch_flags(32) == (True, True)
+    for off in ("0", "plain"):
+        monkeypatch.setenv("QWEN3TTS_VOCODER_KERNEL_BATCH", off)
+        assert voc.vocoder_kernel_batch_flags(1) == (True, True)
+        assert voc.vocoder_kernel_batch_flags(32) == (False, False)
+    monkeypatch.setenv("QWEN3TTS_VOCODER_KERNEL_BATCH", "pt")
+    assert voc.vocoder_kernel_batch_flags(32) == (False, True)
+    assert voc.vocoder_kernel_batch_flags(1) == (True, True)
+    monkeypatch.setenv("QWEN3TTS_VOCODER_KERNEL_BATCH", "1")
+    assert voc.vocoder_kernel_batch_flags(32) == (True, True)
