@@ -657,12 +657,29 @@ class _RowPacker:
     implementation — the two paths must never drift): fixed-width
     [left_context + decode_chunk] rows with carried left context, zero
     END-padding (transparent by the vocoder's causality), and per-key
-    sent-token accounting. Keys are any hashable request handle."""
+    sent-token accounting. Keys are any hashable request handle.
 
-    def __init__(self, ng: int, decode_chunk: int, left_context: int):
+    `first_chunk` (optional, < decode_chunk) emits a stream's FIRST row as
+    soon as that many frames are buffered instead of waiting for a full
+    decode_chunk window — the TTFA lever for fine decode cadences
+    (chunk_steps < decode_chunk): the first audio ships after first_chunk
+    frames, later rows keep the decode_chunk cadence. Exact by the vocoder's
+    causality (the short row's samples are bit-identical to the same frames'
+    samples inside a longer first row — the end-padding argument serve_audio
+    already relies on); the second row then carries up to first_chunk frames
+    of left context instead of the full `left`, the same boundary
+    approximation class as the reference's own chunked decode."""
+
+    def __init__(self, ng: int, decode_chunk: int, left_context: int,
+                 first_chunk: int | None = None):
+        if first_chunk is not None and not (1 <= first_chunk <= decode_chunk):
+            raise ValueError(
+                f"first_chunk must be in [1, decode_chunk], got {first_chunk}"
+            )
         self.ng = ng
         self.decode_chunk = decode_chunk
         self.left = left_context
+        self.first_chunk = first_chunk
         self.width = left_context + decode_chunk
         self._buf: dict = {}
         self._ctx: dict = {}
@@ -719,6 +736,16 @@ class _RowPacker:
         while len(buf) >= self.decode_chunk:
             rows.append(self._mk_row(key, buf[: self.decode_chunk], False))
             buf = buf[self.decode_chunk:]
+        if (
+            not done
+            and self.first_chunk is not None
+            and self._sent.get(key, 0) == 0
+            and len(buf) >= self.first_chunk
+        ):
+            # early FIRST row: everything buffered ships now (it is shorter
+            # than decode_chunk or the loop above would have taken it)
+            rows.append(self._mk_row(key, buf, False))
+            buf = buf[len(buf):]
         empty_final = False
         if done:
             if len(buf):
@@ -981,6 +1008,7 @@ class ContinuousServer:
         max_tokens: int = 1200,
         decode_chunk: int = 18,
         left_context: int = 8,
+        first_decode_chunk: int | None = None,
     ):
         """Continuous-batching TTS that yields audio WHILE decoding continues:
         per-stream ServedChunks, vocoder batched across streams on ready
@@ -1001,9 +1029,15 @@ class ContinuousServer:
         before yielding chunk i's events, so the vocoder batch dispatched
         here executes behind the in-flight decode chunk; the host blocks
         only on finished work.
+
+        first_decode_chunk (optional) ships each stream's FIRST audio as
+        soon as that many frames exist instead of a full decode_chunk
+        window — only effective with chunk_steps < decode_chunk (at the
+        default 18/18 cadence the first boundary already delivers a full
+        window). The TTFA knob for fine-cadence serving.
         """
         ng = self.config.code_predictor_config.num_code_groups
-        packer = _RowPacker(ng, decode_chunk, left_context)
+        packer = _RowPacker(ng, decode_chunk, left_context, first_decode_chunk)
 
         for events in self._event_stream(
             prompt_datas, temperature=temperature, max_tokens=max_tokens

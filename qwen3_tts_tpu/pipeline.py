@@ -642,6 +642,7 @@ class Qwen3TTSPipeline:
         max_tokens: int | None = None,
         batch_size: int = 8,
         chunk_steps: int = 18,
+        first_decode_chunk: int | None = None,
         seed: int = 0,
     ) -> Iterator[tuple[int, AudioChunk]]:
         """Streaming continuous-batching synthesis: yields (text_index,
@@ -649,7 +650,10 @@ class Qwen3TTSPipeline:
         up to batch_size utterances decode in lockstep on one chip, finished
         slots admit queued texts mid-flight, and the vocoder runs batched
         across streams on ready 18-frame chunks (models/serving.py
-        ContinuousServer.serve_audio)."""
+        ContinuousServer.serve_audio). first_decode_chunk (with a finer
+        chunk_steps) ships each stream's first audio after that many frames
+        instead of a full 18-frame window — the TTFA knob, same semantics as
+        generate_stream's parameter of the same name."""
         from .models import serving as srv
 
         if isinstance(speakers, str):
@@ -687,6 +691,7 @@ class Qwen3TTSPipeline:
             ),
             max_tokens=(max_tokens if max_tokens is not None
                         else self.pipeline_config.default_max_tokens),
+            first_decode_chunk=first_decode_chunk,
         ):
             yield keep[chunk.request], AudioChunk(
                 samples=_clean(chunk.samples),

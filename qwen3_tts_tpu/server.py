@@ -623,6 +623,14 @@ def main() -> None:
     ap.add_argument("--max-queue", type=int, default=None,
                     help="waiting-queue bound; beyond it /tts answers 503 + "
                          "Retry-After instead of queueing without bound")
+    ap.add_argument("--chunk-steps", type=int, default=None,
+                    help="decode chunk cadence in frames (default 18); "
+                         "smaller = lower per-request TTFA, more vocoder "
+                         "dispatches")
+    ap.add_argument("--first-decode-chunk", type=int, default=None,
+                    help="ship each stream's first audio after this many "
+                         "frames instead of a full 18-frame window (pair "
+                         "with --chunk-steps <= this for effect)")
     args = ap.parse_args()
 
     pipeline = Qwen3TTSPipeline(args.model_dir)
@@ -633,6 +641,10 @@ def main() -> None:
         kw["trailing_bucket"] = args.trailing_bucket
     if args.max_queue is not None:
         kw["max_queue"] = args.max_queue
+    if args.chunk_steps is not None:
+        kw["chunk_steps"] = args.chunk_steps
+    if args.first_decode_chunk is not None:
+        kw["first_decode_chunk"] = args.first_decode_chunk
     if args.warmup:
         print("warming up serving signatures ...", flush=True)
     # one wiring for embedded and CLI use: serve() owns the service

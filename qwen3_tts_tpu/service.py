@@ -200,16 +200,28 @@ class TTSService:
         chunk_steps: int = 18,
         decode_chunk: int = 18,
         left_context: int = 8,
+        first_decode_chunk: int | None = None,
         prompt_bucket: int | None = None,
         trailing_bucket: int | None = None,
         max_worker_restarts: int = 2,
         max_queue: int | None = None,
     ):
+        if first_decode_chunk is not None and not (
+            1 <= first_decode_chunk <= decode_chunk
+        ):
+            # validate HERE: the packer is built on the worker thread, where
+            # a bad value would kill the worker instead of raising to the
+            # constructor's caller
+            raise ValueError(
+                "first_decode_chunk must be in [1, decode_chunk], got "
+                f"{first_decode_chunk}"
+            )
         self.pipeline = pipeline
         self.batch_size = batch_size
         self.chunk_steps = chunk_steps
         self.decode_chunk = decode_chunk
         self.left_context = left_context
+        self.first_decode_chunk = first_decode_chunk
         self.prompt_bucket = prompt_bucket or gen_mod.PROMPT_BUCKETS[2]
         self.trailing_bucket = trailing_bucket or gen_mod.TRAILING_BUCKETS[1]
         self.statics = gen_mod.GenStatics(
@@ -555,7 +567,9 @@ class TTSService:
         # row packing + batched vocode shared with serve_audio — ONE
         # implementation of the buffer-and-batch scheme (review finding:
         # the two paths had drifted)
-        packer = srv._RowPacker(ng, self.decode_chunk, self.left_context)
+        packer = srv._RowPacker(
+            ng, self.decode_chunk, self.left_context, self.first_decode_chunk
+        )
         self._packer = packer  # exposed for leak tests (lifetime = worker)
 
         # PCM delivery runs on its own thread: the per-boundary host pull

@@ -47,7 +47,11 @@ from qwen3_tts_tpu.service import TTSService
 from qwen3_tts_tpu.testing import FakeByteTokenizer
 
 B = 16
-CHUNK_STEPS = 18
+# argv: [chunk_steps] [first_decode_chunk]  (defaults = reference-parity
+# 18-frame cadence, no early first chunk). The TTFA ladder to measure:
+# `18` (baseline), `6 6` (fine cadence + early first audio).
+CHUNK_STEPS = int(sys.argv[1]) if len(sys.argv) > 1 else 18
+FIRST_CHUNK = int(sys.argv[2]) if len(sys.argv) > 2 else None
 DECODE_CHUNK = 18  # 18 frames * 1920 samples = 1.44 s per audio chunk
 TEXT = "Sixteen concurrent users each want their first chunk of audio fast."
 
@@ -128,6 +132,7 @@ def main() -> None:
     svc = TTSService(
         pl, batch_size=B, chunk_steps=CHUNK_STEPS,
         decode_chunk=DECODE_CHUNK, left_context=8,
+        first_decode_chunk=FIRST_CHUNK,
         # the byte-level fake tokenizer yields ~83 trailing tokens for TEXT;
         # the default trailing bucket (64) rejects it at submit()
         trailing_bucket=128,

@@ -469,3 +469,35 @@ def test_drain_identity_survives_rejected_submits(tiny_pipeline):
         assert time.monotonic() - t0 < 30.0
     finally:
         service.close()
+
+
+def test_first_decode_chunk_ships_early_audio(tiny_pipeline):
+    """A service built with first_decode_chunk + a fine chunk cadence must
+    ship each request's first audio covering fewer than decode_chunk frames,
+    while total audio still matches the canonical stream decode LENGTH (the
+    early boundary shifts later window boundaries, so samples match the
+    packer-schedule decode — proven in test_serving_audio — not the 18-frame
+    canonical stream's exact bytes)."""
+    svc = TTSService(
+        tiny_pipeline, batch_size=2, chunk_steps=2,
+        decode_chunk=DC, left_context=CTX, first_decode_chunk=2,
+        trailing_bucket=128,
+    )
+    try:
+        req = svc.submit(TEXTS[0], speaker="aiden", max_tokens=12, seed=0)
+        audio, chunks = _collect(req)
+        spans = [c.token_range for c in chunks if c.token_range[1] > c.token_range[0]]
+        assert spans[0][1] - spans[0][0] < DC, f"first span {spans[0]}"
+        n_frames = spans[-1][1]
+        spf = tiny_pipeline.speech_config.decoder_config.total_upsample
+        assert len(audio) == n_frames * spf
+        assert np.all(np.isfinite(audio))
+    finally:
+        svc.close()
+
+
+def test_first_decode_chunk_validation(tiny_pipeline):
+    with pytest.raises(ValueError):
+        TTSService(tiny_pipeline, first_decode_chunk=0)
+    with pytest.raises(ValueError):
+        TTSService(tiny_pipeline, decode_chunk=6, first_decode_chunk=7)

@@ -143,3 +143,110 @@ def test_run_greedy_parity_survives_prefetch_refactor():
                              track_cp_penalty=False)
         )
         np.testing.assert_array_equal(out[i], single, err_msg=f"request {i}")
+
+
+# -- first_decode_chunk: early first audio -------------------------------
+
+
+def test_rowpacker_first_chunk_schedule():
+    """Pure host logic: with first_chunk set, a stream's FIRST row ships as
+    soon as that many frames are buffered (shorter than decode_chunk);
+    afterwards rows pop on the normal decode_chunk cadence with carried
+    left context."""
+    ng = 4
+    packer = S._RowPacker(ng, 6, 3, first_chunk=2)
+    frames = np.arange(20 * ng, dtype=np.int32).reshape(20, ng)
+
+    # one frame buffered: below first_chunk, nothing ships
+    rows, ef = packer.feed("k", frames[0:1], False)
+    assert rows == [] and not ef
+    # second frame arrives: early first row of 2, no left context
+    rows, ef = packer.feed("k", frames[1:2], False)
+    assert len(rows) == 1
+    _, row, drop, n, trange, final = rows[0]
+    assert (drop, n, trange, final) == (0, 2, (0, 2), False)
+    np.testing.assert_array_equal(row[:2], frames[:2])
+    assert not row[2:].any(), "end padding must be zeros"
+    # next 6 frames: a full decode_chunk row with ctx = the 2 sent frames
+    rows, _ = packer.feed("k", frames[2:8], False)
+    assert len(rows) == 1
+    _, row, drop, n, trange, final = rows[0]
+    assert (drop, n, trange, final) == (2, 6, (2, 8), False)
+    np.testing.assert_array_equal(row[: drop + n], frames[:8])
+    # early emission is first-row-only: 2 more frames just buffer
+    rows, _ = packer.feed("k", frames[8:10], False)
+    assert rows == []
+    # finishing flushes the remainder as a short final row with full ctx
+    rows, ef = packer.feed("k", frames[10:11], True)
+    assert len(rows) == 1 and not ef
+    _, row, drop, n, trange, final = rows[0]
+    assert (drop, n, trange, final) == (3, 3, (8, 11), True)
+    np.testing.assert_array_equal(row[: drop + n], frames[5:11])
+
+
+def test_rowpacker_first_chunk_validation():
+    with pytest.raises(ValueError):
+        S._RowPacker(4, 6, 3, first_chunk=0)
+    with pytest.raises(ValueError):
+        S._RowPacker(4, 6, 3, first_chunk=7)
+
+
+def test_serve_audio_first_decode_chunk_early_audio():
+    """With first_decode_chunk + a fine chunk cadence, each stream's first
+    audio chunk covers fewer than decode_chunk frames, total audio length is
+    unchanged, and every chunk's samples equal the variable-shape decode of
+    the packer's own row schedule (the fixed-width zero-padded batch must
+    stay transparent for SHORT rows too)."""
+    cfg, params, cp_params, dec, vparams, pds = _setup()
+    max_tokens = 14
+    cs, first = 2, 2
+    ng = cfg.code_predictor_config.num_code_groups
+    spf = dec.total_upsample
+    server = S.ContinuousServer(
+        params, cp_params, cfg, batch_size=2, chunk_steps=cs, seed=0
+    )
+    got: dict[int, list[np.ndarray]] = {i: [] for i in range(len(pds))}
+    ranges: dict[int, list[tuple[int, int]]] = {i: [] for i in range(len(pds))}
+    for chunk in server.serve_audio(
+        pds, vparams, dec, temperature=0.0, max_tokens=max_tokens,
+        decode_chunk=DC, left_context=CTX, first_decode_chunk=first,
+    ):
+        got[chunk.request].append(chunk.samples)
+        ranges[chunk.request].append(chunk.token_range)
+
+    for i, pd in enumerate(pds):
+        single = G.filter_valid_frames(
+            G.generate_codes(
+                params, cp_params, cfg, pd, temperature=0.0,
+                max_tokens=max_tokens, chunk_steps=cs, track_cp_penalty=False,
+            )
+        )
+        spans = [r for r in ranges[i] if r[1] > r[0]]
+        assert spans[0][1] - spans[0][0] < DC, (
+            f"request {i}: first chunk must ship early (got {spans[0]})"
+        )
+        assert spans[-1][1] == len(single)
+        streamed = (
+            np.concatenate(got[i]) if got[i] else np.zeros(0, np.float32)
+        )
+        assert len(streamed) == len(single) * spf
+
+        # expected: decode the packer's own schedule variable-shape (no
+        # padding); the schedule itself is pinned by the unit test above
+        packer = S._RowPacker(ng, DC, CTX, first_chunk=first)
+        expected = []
+        for pos in range(0, len(single), cs):
+            feed = single[pos: pos + cs]
+            rows, _ = packer.feed(i, feed, pos + cs >= len(single))
+            for _, row, drop, n, _tr, _f in rows:
+                wav = np.asarray(voc.decode_frames_jit(
+                    vparams, jnp.asarray(row[: drop + n].T[None]), dec
+                ))[0]
+                expected.append(wav[drop * spf:])
+        expected = (
+            np.concatenate(expected) if expected else np.zeros(0, np.float32)
+        )
+        np.testing.assert_allclose(
+            streamed, expected, rtol=1e-4, atol=1e-5,
+            err_msg=f"request {i} early-first-chunk audio mismatch",
+        )
