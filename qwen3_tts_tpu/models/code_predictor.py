@@ -159,6 +159,7 @@ def predict_frame(
     seen_cp: jax.Array | None,
     config: CodePredictorConfig,
     repetition_penalty: float = 1.05,
+    use_kernel_mirror: bool = False,
 ) -> tuple[jax.Array, jax.Array, jax.Array | None]:
     """Predict codes 1..15 for one frame (reference Qwen3Talker.swift:501-523).
 
@@ -175,8 +176,18 @@ def predict_frame(
     # (batched serving keeps the jnp path, where weight reads amortize over
     # streams). Off-TPU the kernel runs in the Mosaic interpreter.
     if "kernel" in params and code_hidden.shape[0] == 1:
-        from ..ops.pallas.cp_megakernel import predict_frame_kernel
+        from ..ops.pallas.cp_megakernel import (
+            predict_frame_kernel,
+            predict_frame_w8a8_ref,
+        )
 
+        if use_kernel_mirror:
+            # Same W8A8 arithmetic as the kernel, pure jnp — the bench's
+            # on-chip parity baseline (GenStatics.kernel_mirror).
+            return predict_frame_w8a8_ref(
+                params["kernel"], code_hidden, code0_embed, key, temperature,
+                seen_cp, config, repetition_penalty,
+            )
         return predict_frame_kernel(
             params["kernel"], code_hidden, code0_embed, key, temperature,
             seen_cp, config, repetition_penalty,

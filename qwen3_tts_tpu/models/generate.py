@@ -54,6 +54,11 @@ class GenStatics:
     chunk_steps: int
     track_cp_penalty: bool
     repetition_penalty: float = 1.05
+    # Run the kernels' pure-jnp W8A8 mirrors (talker_step_w8a8_ref /
+    # predict_frame_w8a8_ref) instead of the pallas_calls — same arithmetic,
+    # so greedy codes must match the compiled kernels exactly. Used by the
+    # bench's on-chip kernel-parity check; never a production path.
+    kernel_mirror: bool = False
 
 
 def prefill_statics(statics: GenStatics) -> GenStatics:
@@ -66,7 +71,7 @@ def prefill_statics(statics: GenStatics) -> GenStatics:
     return GenStatics(
         config=statics.config, capacity=statics.capacity,
         chunk_steps=0, track_cp_penalty=False,
-    )
+    )  # kernel_mirror pinned to default: prefill never runs the kernels
 
 
 # ---------------------------------------------------------------------------
@@ -229,6 +234,7 @@ def decode_chunk(
                 state["seen_cp"] if statics.track_cp_penalty else None,
                 cp_cfg,
                 repetition_penalty=statics.repetition_penalty,
+                use_kernel_mirror=statics.kernel_mirror,
             )
             frame = jnp.concatenate([code0[None], codes15])
             out = jax.lax.dynamic_update_slice(out, frame[None], (i, 0))
@@ -249,18 +255,27 @@ def decode_chunk(
 
             input_embed = (text_embed + embed_sum).astype(state["h_last"].dtype)
             if "kernel" in params:
-                from ..ops.pallas.talker_megakernel import talker_step_kernel
+                from ..ops.pallas.talker_megakernel import (
+                    talker_step_kernel,
+                    talker_step_w8a8_ref,
+                )
 
                 pos2d = jnp.broadcast_to(
                     state["total_len"][None, None], (1, 1)
                 )
                 cos, sin = talker_mod._rope_cos_sin(cfg, pos2d)
-                h, logits, cache = talker_step_kernel(
+                step_args = (
                     params["kernel"], input_embed, state["cache"],
                     state["total_len"], state["window_start"],
                     cos[0].astype(jnp.float32), sin[0].astype(jnp.float32),
-                    cfg, interpret=jax.default_backend() != "tpu",
+                    cfg,
                 )
+                if statics.kernel_mirror:
+                    h, logits, cache = talker_step_w8a8_ref(*step_args)
+                else:
+                    h, logits, cache = talker_step_kernel(
+                        *step_args, interpret=jax.default_backend() != "tpu"
+                    )
             else:
                 h, cache = talker_mod.talker_decode_step(
                     params, input_embed, state["cache"],
@@ -332,11 +347,17 @@ def stream_codes(
     io/verify.py, which checksums prefill activations and then decodes from
     the same state rather than paying the prompt forward pass twice.
     """
+    from . import prompt as prompt_mod
+
     dtype = prompt_data.input_embeds.dtype
-    p = int(prompt_data.input_embeds.shape[1])
-    t = int(prompt_data.trailing_hidden.shape[1])
-    p_bucket = pick_bucket(p)
-    t_bucket = pick_bucket(t, TRAILING_BUCKETS)
+    # pd_lengths: bucket-padded PromptData (assemble_prompt_padded) carries
+    # its true lengths in .p/.t; exact-length pds report their shapes
+    p, t = prompt_mod.pd_lengths(prompt_data)
+    p_bucket = max(pick_bucket(p), int(prompt_data.input_embeds.shape[1]))
+    t_bucket = max(
+        pick_bucket(t, TRAILING_BUCKETS),
+        int(prompt_data.trailing_hidden.shape[1]),
+    )
 
     statics = GenStatics(
         config=config,
@@ -350,17 +371,26 @@ def stream_codes(
         state = initial_state
     else:
         # padded prompt buffers are only needed when prefilling here — a
-        # resume from initial_state must not pay the two device allocations
-        embeds_padded = jnp.zeros(
-            (1, p_bucket, prompt_data.input_embeds.shape[2]), dtype
-        )
-        embeds_padded = embeds_padded.at[:, :p].set(prompt_data.input_embeds)
-        trailing_padded = jnp.zeros(
-            (1, t_bucket, prompt_data.trailing_hidden.shape[2]), dtype
-        )
-        trailing_padded = trailing_padded.at[:, :t].set(
-            prompt_data.trailing_hidden
-        )
+        # resume from initial_state must not pay the two device allocations;
+        # an already-bucket-padded pd passes through untouched
+        if prompt_data.input_embeds.shape[1] == p_bucket:
+            embeds_padded = prompt_data.input_embeds
+        else:
+            embeds_padded = jnp.zeros(
+                (1, p_bucket, prompt_data.input_embeds.shape[2]), dtype
+            )
+            embeds_padded = embeds_padded.at[:, :p].set(
+                prompt_data.input_embeds[:, :p]
+            )
+        if prompt_data.trailing_hidden.shape[1] == t_bucket:
+            trailing_padded = prompt_data.trailing_hidden
+        else:
+            trailing_padded = jnp.zeros(
+                (1, t_bucket, prompt_data.trailing_hidden.shape[2]), dtype
+            )
+            trailing_padded = trailing_padded.at[:, :t].set(
+                prompt_data.trailing_hidden[:, :t]
+            )
         rng = jax.random.PRNGKey(seed)
         state = prefill(
             params,

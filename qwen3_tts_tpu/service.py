@@ -197,7 +197,7 @@ class TTSService:
         pipeline,
         *,
         batch_size: int = 8,
-        chunk_steps: int = 18,
+        chunk_steps: int = 6,
         decode_chunk: int = 18,
         left_context: int = 8,
         first_decode_chunk: int | None = None,
@@ -206,9 +206,13 @@ class TTSService:
         max_worker_restarts: int = 2,
         max_queue: int | None = None,
     ):
-        if first_decode_chunk is not None and not (
-            1 <= first_decode_chunk <= decode_chunk
-        ):
+        if first_decode_chunk is None:
+            # deploy default: the measured-best point on the TTFA ladder
+            # (docs/SERVING.md — chunk_steps 6 + early first chunk at 6
+            # frames). first_decode_chunk == decode_chunk disables early
+            # shipping (first audio waits for a full window).
+            first_decode_chunk = min(6, decode_chunk)
+        if not (1 <= first_decode_chunk <= decode_chunk):
             # validate HERE: the packer is built on the worker thread, where
             # a bad value would kill the worker instead of raising to the
             # constructor's caller
@@ -301,8 +305,12 @@ class TTSService:
                     )
                 )
                 return req
-            pd = prompt_mod.assemble_prompt(
+            # bucket-padded one-dispatch assembly (the eager path's ~40
+            # small dispatches per submit dominated the r4 burst TTFA)
+            pd = prompt_mod.assemble_prompt_padded(
                 pl.params, pl.config, pl.tokenizer, text, speaker=speaker,
+                prompt_bucket=self.prompt_bucket,
+                trailing_bucket=self.trailing_bucket,
                 **prompt_kwargs,
             )
             if pd is None:
@@ -321,8 +329,7 @@ class TTSService:
                     )
                 )
                 return req
-            p = int(pd.input_embeds.shape[1])
-            t = int(pd.trailing_hidden.shape[1])
+            p, t = prompt_mod.pd_lengths(pd)
             if p > self.prompt_bucket or t > self.trailing_bucket:
                 raise ValueError(
                     f"prompt ({p} embeds / {t} trailing) exceeds service "
@@ -459,16 +466,28 @@ class TTSService:
 
     # -- worker -------------------------------------------------------------
 
-    def _prefill(self, req: TTSRequest) -> dict:
-        pd = req.pd
-        p = int(pd.input_embeds.shape[1])
-        t = int(pd.trailing_hidden.shape[1])
+    def _padded_rows(self, pd) -> tuple[jax.Array, jax.Array]:
+        """(embeds [1, pb, H], trailing [1, tb, H]) for one request —
+        already-bucket-padded PromptData (the submit fast path) passes
+        through with zero dispatches."""
+        p, t = prompt_mod.pd_lengths(pd)
+        if (
+            pd.input_embeds.shape[1] == self.prompt_bucket
+            and pd.trailing_hidden.shape[1] == self.trailing_bucket
+        ):
+            return pd.input_embeds, pd.trailing_hidden
         dtype = pd.input_embeds.dtype
         h = pd.input_embeds.shape[2]
         e = jnp.zeros((1, self.prompt_bucket, h), dtype)
-        e = e.at[:, :p].set(pd.input_embeds)
+        e = e.at[:, :p].set(pd.input_embeds[:, :p])
         tr = jnp.zeros((1, self.trailing_bucket, h), dtype)
-        tr = tr.at[:, :t].set(pd.trailing_hidden)
+        tr = tr.at[:, :t].set(pd.trailing_hidden[:, :t])
+        return e, tr
+
+    def _prefill(self, req: TTSRequest) -> dict:
+        pd = req.pd
+        p, t = prompt_mod.pd_lengths(pd)
+        e, tr = self._padded_rows(pd)
         return srv.prefill_batched(
             self.pipeline.params, e, jnp.full((1,), p, jnp.int32), tr,
             jnp.full((1,), t, jnp.int32), pd.tts_pad_embed,
@@ -493,19 +512,16 @@ class TTSService:
         lockstep decode costs the same whether a row is parked or junk."""
         b = self.batch_size
         ref_pd = next(iter(placed.values())).pd
-        dtype = ref_pd.input_embeds.dtype
-        h = ref_pd.input_embeds.shape[2]
-        e = jnp.zeros((b, self.prompt_bucket, h), dtype)
-        tr = jnp.zeros((b, self.trailing_bucket, h), dtype)
         lengths = np.zeros((b,), np.int32)
         totals = np.zeros((b,), np.int32)
         seeds = np.zeros((b,), np.int64)
+        ref_rows = self._padded_rows(ref_pd)
+        e_rows: list = [None] * b
+        tr_rows: list = [None] * b
         for slot, req in placed.items():
             pd = req.pd
-            p = int(pd.input_embeds.shape[1])
-            t = int(pd.trailing_hidden.shape[1])
-            e = e.at[slot, :p].set(pd.input_embeds[0])
-            tr = tr.at[slot, :t].set(pd.trailing_hidden[0])
+            p, t = prompt_mod.pd_lengths(pd)
+            e_rows[slot], tr_rows[slot] = self._padded_rows(pd)
             lengths[slot] = p
             totals[slot] = t
             seeds[slot] = req.seed
@@ -513,8 +529,12 @@ class TTSService:
         ref_slot = next(iter(placed))
         for slot in range(b):
             if slot not in placed:
+                e_rows[slot], tr_rows[slot] = ref_rows
                 lengths[slot] = lengths[ref_slot]
                 totals[slot] = totals[ref_slot]
+        # two concats instead of 2*B .at[].set dispatch chains
+        e = jnp.concatenate(e_rows, axis=0)
+        tr = jnp.concatenate(tr_rows, axis=0)
         return srv.prefill_batched(
             self.pipeline.params, e, jnp.asarray(lengths), tr,
             jnp.asarray(totals), ref_pd.tts_pad_embed,

@@ -145,9 +145,12 @@ def test_concurrent_streams_share_one_batch(tmp_path):
     def expected_pcm(text: str, max_tokens: int) -> np.ndarray:
         """Greedy codes -> canonical buffer-and-batch stream decode (the
         semantics test_serving_audio proves) -> 16-bit PCM as sent."""
-        pd = P.assemble_prompt(
+        # same bucket-padded assembly the TTSService submit path uses (its
+        # jit-fused rows differ from the eager builder by ~1 ulp)
+        pd = P.assemble_prompt_padded(
             pipeline.params, pipeline.config, pipeline.tokenizer, text,
-            speaker=speaker,
+            speaker=speaker, prompt_bucket=G.PROMPT_BUCKETS[2],
+            trailing_bucket=128,
         )
         frames = G.filter_valid_frames(
             G.generate_codes(

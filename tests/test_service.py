@@ -59,7 +59,13 @@ def _expected_audio(pl, text: str, max_tokens: int) -> np.ndarray:
     proves for serve_audio)."""
     import jax.numpy as jnp
 
-    pd = P.assemble_prompt(pl.params, pl.config, pl.tokenizer, text, speaker="aiden")
+    # the SAME bucket-padded assembly the service's submit() uses — jit
+    # fusion makes its rows differ from the eager builder by ~1 ulp, so the
+    # bit-for-bit invariant holds between runs of the same assembly
+    pd = P.assemble_prompt_padded(
+        pl.params, pl.config, pl.tokenizer, text, speaker="aiden",
+        prompt_bucket=G.PROMPT_BUCKETS[2], trailing_bucket=128,
+    )
     frames = G.filter_valid_frames(
         G.generate_codes(
             pl.params, pl.cp_params, pl.config, pd, temperature=0.0,

@@ -174,6 +174,55 @@ def test_decode_loop_with_both_kernels():
     np.testing.assert_array_equal(frames, run())
 
 
+def test_decode_loop_kernel_mirror_matches_kernel():
+    """GenStatics.kernel_mirror routes the decode loop through the jnp W8A8
+    mirrors; greedy frames must equal the (interpret-mode) kernel path
+    bit-for-bit — this is the arithmetic-identity the bench's on-chip
+    parity gate relies on (bench.py kernel_parity_check)."""
+    import jax.numpy as jnp
+
+    from qwen3_tts_tpu.models import generate as G
+    from qwen3_tts_tpu.models import prompt as P
+    from qwen3_tts_tpu.ops.pallas.cp_megakernel import build_cp_kernel_params
+    from qwen3_tts_tpu.testing import FakeByteTokenizer, tiny_models
+
+    cfg, params, cp_params = tiny_models()
+    params = dict(params)
+    params["kernel"] = jax.device_put(build_talker_kernel_params(params, cfg))
+    cp_k = dict(cp_params)
+    cp_k["kernel"] = jax.device_put(
+        build_cp_kernel_params(cp_params, cfg.code_predictor_config)
+    )
+    pd = P.assemble_prompt(
+        params, cfg, FakeByteTokenizer(), "mirror parity text", speaker="aiden"
+    )
+    p = int(pd.input_embeds.shape[1])
+    t = int(pd.trailing_hidden.shape[1])
+    pb = G.pick_bucket(p)
+    tb = G.pick_bucket(t, G.TRAILING_BUCKETS)
+    h = cfg.hidden_size
+    embeds = jnp.zeros((1, pb, h), jnp.float32).at[:, :p].set(pd.input_embeds)
+    trailing = (
+        jnp.zeros((1, tb, h), jnp.float32).at[:, :t].set(pd.trailing_hidden)
+    )
+    args = (
+        embeds, jnp.int32(p), trailing, jnp.int32(t), pd.tts_pad_embed,
+        jax.random.PRNGKey(42),
+    )
+    temp = jnp.float32(0.0)
+
+    def run(mirror):
+        st = G.GenStatics(
+            config=cfg, capacity=pb + G.RING_SLACK, chunk_steps=4,
+            track_cp_penalty=True, kernel_mirror=mirror,
+        )
+        state = G.prefill(params, *args, st)
+        frames, _, _, _ = G.decode_chunk(params, cp_k, state, temp, st)
+        return np.asarray(frames)
+
+    np.testing.assert_array_equal(run(False), run(True))
+
+
 def test_cache_layout_roundtrip():
     params, tkp, cache, _ = _setup()
     cache2 = cache_to_kernel_layout(cache, CFG)
