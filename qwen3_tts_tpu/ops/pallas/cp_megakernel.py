@@ -148,6 +148,67 @@ def _rot_half(x, hd):
     return jnp.concatenate([-x[:, hd // 2:], x[:, :hd // 2]], axis=1)
 
 
+def _gumbel_pick(lg: jax.Array, temp: jax.Array, vocab: int) -> jax.Array:
+    """In-kernel gumbel-argmax draw from (1, vocab) logits `lg` — categorical
+    sampling at temperature `temp`; temp == 0 degrades to exact greedy.
+
+    u = (bits24 + 0.5) / 2^24 is strictly inside (0, 1): u == 1.0 would make
+    g infinite and temp * g NaN at temperature 0. The 24-bit value is carved
+    out with an explicit LOGICAL shift on int32 — a plain >> on uint32 can
+    lower as an arithmetic shift on TPU, yielding negative u and NaN logits.
+
+    Shared by _cp_kernel's sample_phase and the distribution-test harness
+    (gumbel_sample_kernel) so the statistically validated formula IS the
+    shipped one. Caller must have seeded the PRNG (pltpu.prng_seed)."""
+    bits = pltpu.bitcast(pltpu.prng_random_bits((1, vocab)), jnp.int32)
+    u24 = jax.lax.shift_right_logical(bits, 8).astype(jnp.float32)
+    u = (u24 + 0.5) * (1.0 / 16777216.0)
+    g = -jnp.log(-jnp.log(u))
+    # elementwise select keeps greedy independent of g entirely
+    score = jnp.where(temp > 0, lg + temp * g, lg)
+    return jnp.argmax(score, axis=-1)[0].astype(jnp.int32)
+
+
+def gumbel_sample_kernel(
+    logits: jax.Array,
+    seed: int,
+    temperature: float,
+    n_draws: int,
+    interpret: bool = True,
+) -> jax.Array:
+    """Test harness: `n_draws` independent _gumbel_pick draws from fixed
+    [vocab] logits, one PRNG stream (seeded once, like a decode stream).
+    Returns [n_draws] int32. Used by tests/test_sampling_stats.py to
+    chi-square the in-kernel sampler against the exact softmax."""
+    vocab = int(logits.shape[-1])
+
+    def body(seed_ref, temp_ref, lg_ref, out_ref):
+        pltpu.prng_seed(seed_ref[0])
+        temp = temp_ref[0]
+        lg = lg_ref[0:1, :]
+
+        def draw(i, _):
+            out_ref[pl.ds(i, 1), :] = _gumbel_pick(lg, temp, vocab)[None, None]
+            return 0
+
+        jax.lax.fori_loop(0, n_draws, draw, 0)
+
+    sm = pl.BlockSpec(memory_space=pltpu.SMEM)
+    vm = pl.BlockSpec(memory_space=pltpu.VMEM)
+    out = pl.pallas_call(
+        body,
+        in_specs=[sm, sm, vm],
+        out_specs=vm,
+        out_shape=jax.ShapeDtypeStruct((n_draws, 1), jnp.int32),
+        interpret=pltpu.InterpretParams() if interpret else False,
+    )(
+        jnp.asarray([seed], jnp.int32),
+        jnp.asarray([temperature], jnp.float32),
+        logits.astype(jnp.float32)[None, :],
+    )
+    return out[:, 0]
+
+
 # ---------------------------------------------------------------------------
 # The kernel
 # ---------------------------------------------------------------------------
@@ -285,19 +346,9 @@ def _cp_kernel(
         pen = jnp.where(seen_row > 0, jnp.float32(penalty), jnp.float32(1.0))
         lg = lg / pen
 
-        # gumbel-argmax == categorical; temp==0 degrades to exact greedy.
-        # u = (bits24 + 0.5) / 2^24 is strictly inside (0, 1): u == 1.0 would
-        # make g infinite and temp * g NaN at temperature 0. The 24-bit value
-        # is carved out with an explicit LOGICAL shift on int32 — a plain >>
-        # on uint32 can lower as an arithmetic shift on TPU, yielding negative
-        # u and NaN logits.
-        bits = pltpu.bitcast(pltpu.prng_random_bits((1, vocab)), jnp.int32)
-        u24 = jax.lax.shift_right_logical(bits, 8).astype(jnp.float32)
-        u = (u24 + 0.5) * (1.0 / 16777216.0)
-        g = -jnp.log(-jnp.log(u))
-        # elementwise select keeps greedy independent of g entirely
-        score = jnp.where(temp > 0, lg + temp * g, lg)
-        code = jnp.argmax(score, axis=-1)[0].astype(jnp.int32)
+        # gumbel-argmax == categorical; temp==0 degrades to exact greedy
+        # (_gumbel_pick — shared with the distribution-test harness)
+        code = _gumbel_pick(lg, temp, vocab)
 
         lane_v = jax.lax.broadcasted_iota(jnp.int32, (1, vocab), 1)
         onehot = (lane_v == code).astype(jnp.float32)
