@@ -767,17 +767,25 @@ def vocode_rows_dispatch(rows, batch_size: int, vocoder_params: dict,
     the r4 service-TTFA measurement) with the next decode chunk."""
     from . import vocoder as voc
 
+    spf = decoder_cfg.total_upsample
     out = []
     for g0 in range(0, len(rows), batch_size):
         group = rows[g0: g0 + batch_size]
         batch = np.zeros((batch_size, ng, width), np.int32)
+        need = 1  # frames actually consumed across the group
         for i, (_key, row, _d, _m, _tr, _f) in enumerate(group):
             batch[i] = row.T
-        out.append((
-            voc.decode_frames_jit(vocoder_params, jnp.asarray(batch),
-                                  decoder_cfg),
-            group,
-        ))
+            need = max(need, _d + _m)
+        wav = voc.decode_frames_jit(
+            vocoder_params, jnp.asarray(batch), decoder_cfg
+        )
+        if need < width:
+            # device-side trim BEFORE the host pull: early first chunks
+            # (first_decode_chunk) and tails consume a fraction of the fixed
+            # window — pulling the padded remainder cost ~90 ms/boundary of
+            # pure transfer at B=16 on the throttled host
+            wav = wav[:, : need * spf]
+        out.append((wav, group))
     return out
 
 
