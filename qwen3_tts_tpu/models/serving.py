@@ -528,10 +528,15 @@ def admit_stream(
     idx: jax.Array,
     fresh: dict,
     statics: gen_mod.GenStatics,
+    src: jax.Array | int = 0,
 ) -> dict:
-    """Replace batch row `idx` of a running serving state with a freshly
-    prefilled single-stream state (continuous batching: new utterances join
-    as others finish, without stopping the batch).
+    """Replace batch row `idx` of a running serving state with row `src` of
+    a freshly prefilled serving state (continuous batching: new utterances
+    join as others finish, without stopping the batch). `src` defaults to 0
+    (the classic B=1 fresh prefill); a BURST of simultaneous arrivals runs
+    ONE full-B prefill and admits each row by src index — one heavy
+    dispatch instead of k sequential B=1 prefill chains (the dominant
+    straggler cost in the r5 burst-TTFA attribution).
 
     Slot alignment: the batch's shared ring cursor sits at
     (p_pad + step) % capacity, while the fresh prefill wrote its prompt at
@@ -545,6 +550,7 @@ def admit_stream(
     cap = statics.capacity
     step = state["step"]
     shift = (step % jnp.int32(cap)).astype(jnp.int32)
+    src = jnp.asarray(src, jnp.int32)
 
     def put_row(arr, row, axis):
         row = jnp.expand_dims(row, axis)
@@ -552,10 +558,13 @@ def admit_stream(
         start[axis] = idx.astype(jnp.int32)
         return jax.lax.dynamic_update_slice(arr, row.astype(arr.dtype), tuple(start))
 
+    def src_row(arr, axis):
+        return jax.lax.dynamic_index_in_dim(arr, src, axis=axis, keepdims=False)
+
     # roll the fresh cache row so its prompt ends at the shared cursor - 1
-    fk = jnp.roll(fresh["cache"]["k"][:, 0], shift, axis=2)   # [L,Hkv,C,D]
-    fv = jnp.roll(fresh["cache"]["v"][:, 0], shift, axis=2)
-    fpos = jnp.roll(fresh["cache"]["pos"][0], shift, axis=0)  # fresh pos is [B=1,C]
+    fk = jnp.roll(src_row(fresh["cache"]["k"], 1), shift, axis=2)  # [L,Hkv,C,D]
+    fv = jnp.roll(src_row(fresh["cache"]["v"], 1), shift, axis=2)
+    fpos = jnp.roll(src_row(fresh["cache"]["pos"], 0), shift, axis=0)
 
     cache = dict(state["cache"])
     cache["k"] = put_row(cache["k"], fk, axis=1)
@@ -563,20 +572,24 @@ def admit_stream(
     cache["pos"] = put_row(cache["pos"], fpos, axis=0)
 
     new = {**state, "cache": cache}
-    new["h_last"] = put_row(state["h_last"], fresh["h_last"][0], 0)
-    new["logits"] = put_row(state["logits"], fresh["logits"][0], 0)
+    new["h_last"] = put_row(state["h_last"], src_row(fresh["h_last"], 0), 0)
+    new["logits"] = put_row(state["logits"], src_row(fresh["logits"], 0), 0)
     new["lengths"] = put_row(
-        state["lengths"], fresh["lengths"][0] - step, 0
+        state["lengths"], src_row(fresh["lengths"], 0) - step, 0
     )
     new["window_start"] = put_row(state["window_start"], jnp.int32(0), 0)
     new["start_step"] = put_row(state["start_step"], step, 0)
     new["trailing_idx"] = put_row(state["trailing_idx"], jnp.int32(0), 0)
     new["consecutive_pad"] = put_row(state["consecutive_pad"], jnp.int32(0), 0)
     new["eos"] = put_row(state["eos"], jnp.bool_(False), 0)
-    new["seen_code0"] = put_row(state["seen_code0"], fresh["seen_code0"][0], 0)
-    new["trailing"] = put_row(state["trailing"], fresh["trailing"][0], 0)
-    new["total_texts"] = put_row(state["total_texts"], fresh["total_texts"][0], 0)
-    new["rngs"] = put_row(state["rngs"], fresh["rngs"][0], 0)
+    new["seen_code0"] = put_row(
+        state["seen_code0"], src_row(fresh["seen_code0"], 0), 0
+    )
+    new["trailing"] = put_row(state["trailing"], src_row(fresh["trailing"], 0), 0)
+    new["total_texts"] = put_row(
+        state["total_texts"], src_row(fresh["total_texts"], 0), 0
+    )
+    new["rngs"] = put_row(state["rngs"], src_row(fresh["rngs"], 0), 0)
     return new
 
 

@@ -667,7 +667,8 @@ class TTSService:
         temps = np.full((b,), 1.0, np.float32)
         state = None
         pending = None  # lazy (frames, counts, eos, state) of chunk `it`
-        # deferred boundary ops, FIFO: ("admit", slot, fresh) | ("park", slot)
+        # deferred boundary ops, FIFO:
+        # ("admit", slot, fresh, src_row) | ("park", slot)
         ops: list[tuple] = []
         it = 0
 
@@ -675,7 +676,8 @@ class TTSService:
             for op in ops:
                 if op[0] == "admit":
                     state = srv.admit_stream(
-                        state, jnp.int32(op[1]), op[2], self.statics
+                        state, jnp.int32(op[1]), op[2], self.statics,
+                        src=jnp.int32(op[3]),
                     )
                 else:
                     state = srv.park_slot(state, jnp.int32(op[1]))
@@ -725,6 +727,7 @@ class TTSService:
                         break
 
                 bootstrap: dict[int, TTSRequest] = {}
+                midflight: dict[int, TTSRequest] = {}
                 for slot in range(b):
                     if not backlog:
                         break
@@ -747,15 +750,25 @@ class TTSService:
                         bootstrap[slot] = req
                         slots[slot].active_from = 0
                         continue
-                    fresh = self._prefill(req)  # queues behind the chunk
-                    if pending is None:
-                        ops.append(("admit", slot, fresh))
-                        slots[slot].active_from = it
-                    else:
-                        ops.append(("admit", slot, fresh))
-                        slots[slot].active_from = it + 1
+                    midflight[slot] = req
+                    slots[slot].active_from = it if pending is None else it + 1
                 if bootstrap:
                     state = self._prefill_bootstrap(bootstrap)
+                if midflight:
+                    if len(midflight) == 1:
+                        # single arrival: the B=1 prefill is cheaper than a
+                        # full-B pass
+                        ((slot, req),) = midflight.items()
+                        ops.append(("admit", slot, self._prefill(req), 0))
+                    else:
+                        # arrival BURST into a running batch: ONE full-B
+                        # prefill holds every arrival at its slot's row, and
+                        # each admission copies row slot -> slot (r5 burst
+                        # attribution: k sequential B=1 prefill chains were
+                        # the straggler cost)
+                        fresh_b = self._prefill_bootstrap(midflight)
+                        for slot in midflight:
+                            ops.append(("admit", slot, fresh_b, slot))
 
                 if state is None:
                     continue

@@ -107,6 +107,44 @@ def _collect(req):
     return audio, chunks
 
 
+def test_burst_midflight_admission_greedy_parity(tiny_pipeline):
+    """A SIMULTANEOUS burst of arrivals into a running batch takes the
+    batched-admission path (one full-B prefill, admit_stream src=slot);
+    every stream must still equal its canonical single-stream decode."""
+    pl = tiny_pipeline
+    service = _mk_service(pl, batch_size=4)
+    try:
+        first = [
+            service.submit(TEXTS[i], "aiden", temperature=0.0, max_tokens=12)
+            for i in range(2)
+        ]
+        # wait until the batch is provably decoding (first audio out)
+        gens = [r.chunks() for r in first]
+        heads = [next(g) for g in gens]
+        # burst: 3 arrivals at once -> 2 free slots admitted in ONE batched
+        # prefill, 1 waits in the backlog for a freed slot
+        burst = [
+            service.submit(TEXTS[2 + i], "aiden", temperature=0.0,
+                           max_tokens=12)
+            for i in range(3)
+        ]
+        for text, req in zip(TEXTS[2:], burst):
+            audio, _ = _collect(req)
+            expected = _expected_audio(pl, text, max_tokens=12)
+            assert len(audio) == len(expected), text
+            np.testing.assert_allclose(audio, expected, rtol=1e-4, atol=1e-5,
+                                       err_msg=text)
+        for i, (g, head) in enumerate(zip(gens, heads)):
+            tail = [c for c in g]
+            parts = [c.samples for c in [head] + tail if len(c.samples)]
+            audio = np.concatenate(parts)
+            expected = _expected_audio(pl, TEXTS[i], max_tokens=12)
+            np.testing.assert_allclose(audio, expected, rtol=1e-4, atol=1e-5,
+                                       err_msg=TEXTS[i])
+    finally:
+        service.close()
+
+
 def test_staggered_arrivals_greedy_parity(tiny_pipeline):
     """5 requests arrive over time into a 2-slot batch (forces waiting in the
     backlog AND mid-flight admission); each stream must equal its canonical
