@@ -1129,9 +1129,22 @@ def run_all(out: dict) -> None:
         )(voc_params)
         jax.block_until_ready(voc_params["kernel"])
 
-    def phase(name: str, fn):
+    t_start = time.monotonic()
+    # On a COLD compile cache the core metrics alone take ~26 min (r4) and
+    # the check phases add their own multi-minute compiles; rather than let
+    # the watchdog (default 2700 s) truncate the line mid-phase, optional
+    # phases self-skip once the clock passes this mark and say so in aux.
+    skip_after = float(os.environ.get("QWEN3TTS_BENCH_SKIP_AFTER", "1900"))
+
+    def phase(name: str, fn, optional: bool = False):
         """Run one sub-measurement; a failure costs its aux entry, nothing
         else (no phase may kill the bench line)."""
+        if optional and time.monotonic() - t_start > skip_after:
+            aux[f"{name}_skipped"] = (
+                f"time budget: {time.monotonic() - t_start:.0f}s elapsed > "
+                f"{skip_after:.0f}s (cold cache?); rerun with a primed cache"
+            )
+            return None
         try:
             return fn()
         except Exception as e:
@@ -1211,6 +1224,7 @@ def run_all(out: dict) -> None:
             lambda: service_ttfa(
                 Qwen3TTSConfig.standard_1_7b(), voc_params, vcfg
             ),
+            optional=True,
         )
         if sttfa is not None:
             aux.update(sttfa)
@@ -1219,21 +1233,25 @@ def run_all(out: dict) -> None:
             lambda: utilization_metrics(
                 Qwen3TTSConfig.standard_1_7b(), voc_params, vcfg
             ),
+            optional=True,
         )
         if util is not None:
             aux.update(util)
         parity = phase(
             "kernel_parity",
             lambda: kernel_parity_check(Qwen3TTSConfig.standard()),
+            optional=True,
         )
         if parity is not None:
             aux.update(parity)
         vparity = phase(
-            "vocoder_parity", lambda: vocoder_parity_check(voc_params, vcfg)
+            "vocoder_parity",
+            lambda: vocoder_parity_check(voc_params, vcfg),
+            optional=True,
         )
         if vparity is not None:
             aux.update(vparity)
-        gumbel = phase("gumbel_sampler", gumbel_sampler_check)
+        gumbel = phase("gumbel_sampler", gumbel_sampler_check, optional=True)
         if gumbel is not None:
             aux.update(gumbel)
 
