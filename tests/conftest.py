@@ -18,6 +18,11 @@ os.environ["JAX_PLATFORMS"] = "cpu"
 import jax
 
 jax.config.update("jax_platforms", "cpu")
+# XLA:CPU async dispatch executes computations on a background runtime
+# thread; one full-suite run wedged (not crashed) in that handoff.
+# Synchronous dispatch removes the thread from the picture; tests are
+# correctness-only, so the lost overlap is irrelevant.
+jax.config.update("jax_cpu_enable_async_dispatch", False)
 
 import sys
 
@@ -29,6 +34,23 @@ import pytest
 
 def pytest_report_header(config):
     return f"jax backend: {jax.default_backend()}, devices: {jax.device_count()}"
+
+
+@pytest.fixture(autouse=True, scope="module")
+def _free_compiled_executables_per_module():
+    """Release every compiled executable when a test module finishes.
+
+    A serial full-suite run deterministically dies ~280 tests in, inside
+    XLA:CPU `backend_compile_and_load`, always on the NEXT LARGE compile
+    (vocoder decode_frames graphs) — the crash site moves with suite
+    content while the test count stays put, and every victim passes in
+    isolation. That signature is accumulated per-process jitted-code
+    volume (ORC JIT code-region/displacement pressure), not any specific
+    test. Dropping the in-process executable caches at module boundaries
+    keeps the volume far below the trigger; jitted functions recompile
+    transparently, costing a fraction of the suite's wall."""
+    yield
+    jax.clear_caches()
 
 
 def pytest_collection_modifyitems(config, items):
