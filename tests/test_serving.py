@@ -226,6 +226,77 @@ def test_continuous_batching_admit():
     assert len(got_b) == 30
 
 
+def test_admit_stream_src_row_matches_b1_admit():
+    """admit_stream(src=k) from a BATCHED fresh prefill must produce the
+    bitwise-identical state to admitting a B=1 fresh prefill of the same
+    prompt (the service's batched mid-flight admission path: one full-B
+    prefill for an arrival burst, each row admitted by src index)."""
+    import jax.numpy as jnp
+
+    cfg, params, cp_params = tiny_models()
+    texts = [
+        "Row zero filler prompt for the batched fresh state.",
+        "The actually admitted prompt sits at row one.",
+        "Row two filler prompt, never admitted anywhere.",
+    ]
+    pds = [
+        P.assemble_prompt(params, cfg, FakeByteTokenizer(), t, speaker="aiden")
+        for t in texts
+    ]
+    p_bucket = G.pick_bucket(max(int(pd.input_embeds.shape[1]) for pd in pds))
+    t_bucket = G.pick_bucket(
+        max(int(pd.trailing_hidden.shape[1]) for pd in pds),
+        G.TRAILING_BUCKETS,
+    )
+    statics = G.GenStatics(config=cfg, capacity=p_bucket + G.RING_SLACK,
+                           chunk_steps=4, track_cp_penalty=False)
+
+    def b1_state(pd, seed):
+        p = int(pd.input_embeds.shape[1])
+        t = int(pd.trailing_hidden.shape[1])
+        e = jnp.zeros((1, p_bucket, cfg.hidden_size)).at[:, :p].set(
+            pd.input_embeds
+        )
+        tr = jnp.zeros((1, t_bucket, cfg.hidden_size)).at[:, :t].set(
+            pd.trailing_hidden
+        )
+        return S.prefill_batched(
+            params, e, jnp.full((1,), p, jnp.int32), tr,
+            jnp.full((1,), t, jnp.int32), pd.tts_pad_embed,
+            jax.vmap(jax.random.PRNGKey)(jnp.asarray([seed])), statics,
+        )
+
+    # running batch of two streams, advanced one chunk
+    running = S.concat_states([b1_state(pds[0], 0), b1_state(pds[0], 1)])
+    temp = jnp.float32(0.0)
+    _f, _c, _e, running = S.decode_chunk_serving(
+        params, cp_params, running, temp, statics
+    )
+
+    # fresh prefills: batched (rows 0..2, target at row 1) vs B=1 of row 1's
+    # prompt — per-row prefill independence makes row 1 identical in both
+    fresh_rows = [b1_state(pds[i], seed=7 if i == 1 else 90 + i)
+                  for i in range(3)]
+    fresh_b3 = S.concat_states(fresh_rows)
+    fresh_b1 = b1_state(pds[1], seed=7)
+
+    run_a = jax.tree.map(jnp.copy, running)
+    run_b = jax.tree.map(jnp.copy, running)
+    st_src = S.admit_stream(run_a, jnp.int32(1), fresh_b3, statics,
+                            src=jnp.int32(1))
+    st_b1 = S.admit_stream(run_b, jnp.int32(1), fresh_b1, statics)
+    leaves_a = jax.tree_util.tree_leaves_with_path(st_src)
+    leaves_b = jax.tree_util.tree_leaves_with_path(st_b1)
+    assert len(leaves_a) == len(leaves_b)
+    for (path_a, val_a), (path_b, val_b) in zip(leaves_a, leaves_b):
+        path = jax.tree_util.keystr(path_a)
+        assert path == jax.tree_util.keystr(path_b)
+        np.testing.assert_array_equal(
+            np.asarray(val_a), np.asarray(val_b),
+            err_msg=f"state leaf {path} differs between src-admit and B=1",
+        )
+
+
 def test_continuous_server_many_requests():
     """5 requests through a 2-slot server: every request's greedy output must
     match its single-stream run; finished slots admit queued prompts."""
