@@ -792,11 +792,16 @@ def vocode_rows_dispatch(rows, batch_size: int, vocoder_params: dict,
         wav = voc.decode_frames_jit(
             vocoder_params, jnp.asarray(batch), decoder_cfg
         )
+        # device-side trim BEFORE the host pull: early first chunks
+        # (first_decode_chunk) and tails consume a fraction of the fixed
+        # window — pulling the padded remainder cost ~90 ms/boundary of
+        # pure transfer at B=16 on the throttled host. `need` is rounded up
+        # to a multiple of 8 frames so the slice has <= width/8 distinct
+        # shapes (each eager slice shape is its own XLA program; unquantized
+        # tail lengths would pay a first-occurrence compile on the live
+        # serving path)
+        need = min(width, ((need + 7) // 8) * 8)
         if need < width:
-            # device-side trim BEFORE the host pull: early first chunks
-            # (first_decode_chunk) and tails consume a fraction of the fixed
-            # window — pulling the padded remainder cost ~90 ms/boundary of
-            # pure transfer at B=16 on the throttled host
             wav = wav[:, : need * spf]
         out.append((wav, group))
     return out

@@ -204,7 +204,7 @@ class TTSService:
         prompt_bucket: int | None = None,
         trailing_bucket: int | None = None,
         max_worker_restarts: int = 2,
-        max_queue: int | None = None,
+        max_queue: int | None = -1,
     ):
         if first_decode_chunk is None:
             # deploy default: the measured-best point on the TTFA ladder
@@ -212,6 +212,14 @@ class TTSService:
             # frames). first_decode_chunk == decode_chunk disables early
             # shipping (first audio waits for a full window).
             first_decode_chunk = min(6, decode_chunk)
+        if max_queue == -1:
+            # bounded BY DEFAULT: each queued request holds bucket-padded
+            # device buffers (~1 MB at 1.7B defaults — the price of the
+            # one-dispatch submit), so an unbounded backlog under a load
+            # spike would grow device memory without limit. 4 batches of
+            # headroom keeps the worker fed through bursts; pass
+            # max_queue=None for the old unbounded behavior.
+            max_queue = 4 * batch_size
         if not (1 <= first_decode_chunk <= decode_chunk):
             # validate HERE: the packer is built on the worker thread, where
             # a bad value would kill the worker instead of raising to the

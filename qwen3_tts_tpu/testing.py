@@ -807,3 +807,24 @@ def write_golden_model_dir(path, seed: int = 0, group_size: int = 64):
     with open(cfg_path, "w", encoding="utf-8") as f:
         _json.dump(raw, f)
     return ret
+
+
+def chisq_gof_pvalue(counts, probs) -> float:
+    """Chi-square goodness-of-fit p-value with small-expectation bins merged
+    (classic validity rule: expected >= 5 per bin). Shared by the sampled-
+    path statistical tests (tests/test_sampling_stats.py) and bench.py's
+    on-chip gumbel check so the merge rule cannot drift between them.
+    Requires scipy (lazy import; baked into the image)."""
+    import numpy as _np
+    from scipy import stats as _sps
+
+    counts = _np.asarray(counts, _np.float64)
+    exp = _np.asarray(probs, _np.float64) * counts.sum()
+    order = _np.argsort(exp)
+    counts, exp = counts[order], exp[order]
+    while len(exp) > 2 and exp[0] < 5.0:
+        exp[1] += exp[0]
+        counts[1] += counts[0]
+        exp, counts = exp[1:], counts[1:]
+    exp *= counts.sum() / exp.sum()  # renormalize away fp drift
+    return float(_sps.chisquare(counts, exp).pvalue)

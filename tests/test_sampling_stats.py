@@ -23,31 +23,15 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 import pytest
-from scipy import stats as sps
 
 from qwen3_tts_tpu.ops.pallas.cp_megakernel import gumbel_sample_kernel
-from qwen3_tts_tpu.ops.sampling import NEG_INF, sample_token
+from qwen3_tts_tpu.ops.sampling import sample_token
+from qwen3_tts_tpu.testing import chisq_gof_pvalue as _chisq_p
 
 pytestmark = pytest.mark.slow
 
 V = 32
 P_FLOOR = 1e-3  # reject only at overwhelming evidence; seeds are fixed
-
-
-def _chisq_p(counts: np.ndarray, probs: np.ndarray) -> float:
-    """Chi-square GOF p-value with small-expectation bins merged (the
-    classic validity rule: expected >= 5 per bin)."""
-    n = counts.sum()
-    exp = probs * n
-    order = np.argsort(exp)
-    counts, exp = counts[order].astype(np.float64), exp[order]
-    # merge from the smallest-expectation end until every bin clears 5
-    while len(exp) > 2 and exp[0] < 5.0:
-        exp[1] += exp[0]
-        counts[1] += counts[0]
-        exp, counts = exp[1:], counts[1:]
-    exp *= counts.sum() / exp.sum()  # renormalize away fp drift
-    return float(sps.chisquare(counts, exp).pvalue)
 
 
 def _target_probs(logits, temperature, seen=None, penalty=1.05, valid=None):
