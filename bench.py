@@ -453,7 +453,12 @@ def stream_consumer_rtf(
     host as a consumer would. The parity-mode headline additionally bills one
     ~35 ms tunnel round-trip for its single final sync (~0.36 ms/frame at 96
     frames); real deployments stream and amortize it — this measures that
-    deployment mode honestly rather than subtracting an estimate."""
+    deployment mode honestly rather than subtracting an estimate.
+
+    Mirrors generate_stream's pipelined PCM delivery (pipeline.py): each
+    chunk's vocode is dispatched with an async D2H copy and pulled one
+    iteration LATER, so the PCM transfer overlaps the next decode chunk's
+    device time instead of costing a serial round trip per chunk."""
     dtype = jnp.bfloat16
     params, cp_params = build_models(config, dtype, use_kernels=True)
     pd = prompt_mod.assemble_prompt(
@@ -482,6 +487,7 @@ def stream_consumer_rtf(
         pending = gen_mod.decode_chunk(params, cp_params, state, temp, statics)
         emitted = 0
         prev_tail = np.zeros((ctx, 16), np.int32)
+        pending_pcm = None
         for i in range(n_chunks):
             frames, count, eos, state = pending
             if i + 1 < n_chunks:
@@ -495,8 +501,15 @@ def stream_consumer_rtf(
             wav = voc.decode_frames_jit(
                 voc_params, jnp.asarray(row.T[None]), vcfg
             )
-            pcm = np.asarray(wav)  # consumer pulls the PCM
-        # the last chunk's readbacks above already forced completion
+            copy_async = getattr(wav, "copy_to_host_async", None)
+            if copy_async is not None:
+                copy_async()
+            if pending_pcm is not None:
+                # chunk i-1's PCM: its D2H copy ran under chunk i's decode
+                pcm = np.asarray(pending_pcm)
+                del pcm
+            pending_pcm = wav
+        pcm = np.asarray(pending_pcm)  # final chunk's PCM forces completion
         del pcm
         return emitted
 

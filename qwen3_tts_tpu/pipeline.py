@@ -757,13 +757,22 @@ class Qwen3TTSPipeline:
 
             buffer: list[np.ndarray] = []
             left_context: np.ndarray | None = None
+            # Pipelined PCM delivery: window i's vocode is dispatched with an
+            # async D2H copy and its pull deferred until window i+1 is
+            # dispatched, so the transfer rides under the next decode chunk's
+            # device time instead of blocking the loop for a host round trip
+            # per window. The FIRST window is pulled immediately (TTFA
+            # unchanged); chunk contents, order, and token ranges are
+            # identical to the serial scheme.
+            pending_item = None  # (device wav, drop, t0, t1)
 
-            def decode_batch(frames: np.ndarray) -> np.ndarray:
-                nonlocal left_context
-                wav, left_context = self._decode_with_context(
-                    frames, left_context
+            def pull(item) -> AudioChunk:
+                wav_dev, drop, a, b = item
+                return AudioChunk(
+                    samples=_clean(np.asarray(wav_dev)[0][drop:]),
+                    token_range=(a, b),
+                    is_final=False,
                 )
-                return wav
 
             for frames in code_stream:
                 valid = gen_mod.filter_valid_frames(frames)
@@ -775,18 +784,27 @@ class Qwen3TTSPipeline:
                     batch = buffered[:next_decode]
                     buffered = buffered[next_decode:]
                     next_decode = DECODE_CHUNK_SIZE
-                    samples = decode_batch(batch)
-                    total += len(batch)
-                    yield AudioChunk(
-                        samples=_clean(samples),
-                        token_range=(total - len(batch), total),
-                        is_final=False,
+                    wav_dev, drop, left_context = (
+                        self._dispatch_decode_with_context(batch, left_context)
                     )
+                    total += len(batch)
+                    item = (wav_dev, drop, total - len(batch), total)
+                    if total == len(batch):
+                        yield pull(item)  # first audio ships immediately
+                    else:
+                        if pending_item is not None:
+                            yield pull(pending_item)
+                        pending_item = item
                 buffer = [buffered] if len(buffered) else []
 
+            if pending_item is not None:
+                yield pull(pending_item)
+                pending_item = None
             remainder = np.concatenate(buffer) if buffer else np.zeros((0, 16), np.int32)
             if len(remainder):
-                samples = decode_batch(remainder)
+                samples, left_context = self._decode_with_context(
+                    remainder, left_context
+                )
                 total += len(remainder)
                 yield AudioChunk(
                     samples=_clean(samples),
@@ -949,28 +967,41 @@ class Qwen3TTSPipeline:
             count = writer.finalize()
         return count
 
-    def _decode_with_context(
+    def _dispatch_decode_with_context(
         self, frames: np.ndarray, left_context: np.ndarray | None
-    ) -> tuple[np.ndarray, np.ndarray]:
-        """ONE vocoder call over `frames` with optional re-decoded left
-        context whose samples are dropped (the reference's buffer-and-batch
-        step, Qwen3TTSPipeline.swift:700-745). Returns (raw samples, next
-        left context) — the single implementation behind generate_stream
-        and _decode_chunked."""
+    ):
+        """Dispatch ONE vocoder call over `frames` with optional re-decoded
+        left context (the reference's buffer-and-batch step,
+        Qwen3TTSPipeline.swift:700-745) WITHOUT pulling the PCM: returns
+        (device wav [1, S], samples to drop, next left context). The device
+        array's D2H copy is started asynchronously so a caller that defers
+        the pull (generate_stream's pipelined delivery) overlaps the PCM
+        transfer with the next decode chunk instead of paying a serial
+        host round trip per window."""
         if left_context is not None:
             decode_input = np.concatenate([left_context, frames])
             drop = len(left_context) * self._samples_per_frame
         else:
             decode_input = frames
             drop = 0
-        wav = np.asarray(
-            voc.decode_frames_jit(
-                self.vocoder_params,
-                jnp.asarray(decode_input.T[None]),
-                self.speech_config.decoder_config,
-            )
-        )[0][drop:]
-        return wav, frames[-LEFT_CONTEXT_SIZE:]
+        wav = voc.decode_frames_jit(
+            self.vocoder_params,
+            jnp.asarray(decode_input.T[None]),
+            self.speech_config.decoder_config,
+        )
+        copy_async = getattr(wav, "copy_to_host_async", None)
+        if copy_async is not None:
+            copy_async()
+        return wav, drop, frames[-LEFT_CONTEXT_SIZE:]
+
+    def _decode_with_context(
+        self, frames: np.ndarray, left_context: np.ndarray | None
+    ) -> tuple[np.ndarray, np.ndarray]:
+        """Blocking form of _dispatch_decode_with_context: returns
+        (raw samples, next left context) — the implementation behind
+        _decode_chunked and generate_stream's flush path."""
+        wav, drop, ctx = self._dispatch_decode_with_context(frames, left_context)
+        return np.asarray(wav)[0][drop:], ctx
 
     def _decode_chunked(self, frames: np.ndarray, decode_chunk_size: int) -> np.ndarray:
         """Sequential batched vocoder decode with 8-frame left context
