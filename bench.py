@@ -368,7 +368,11 @@ def serving_audio_rtf(
     actual loop shape at TTSService defaults — 18-step decode chunks with
     depth-1 prefetch, per-boundary host readback of the frames (slot
     routing), one [B, nq, 8+18] vocoder call per boundary, and the PCM
-    pulled to host as the request queues would."""
+    pulled to host as the request queues would — with serve_audio's
+    pipelined PCM delivery: each boundary's vocode dispatches with an async
+    D2H copy and its pull is deferred one boundary (the vocode queues
+    BEHIND the prefetched decode chunk on the device, so a same-boundary
+    pull would bill decode + vocode + transfer serially)."""
     dtype = jnp.bfloat16
     params, cp_params = build_models(config, dtype, use_kernels=True)
     pd = prompt_mod.assemble_prompt(
@@ -414,6 +418,7 @@ def serving_audio_rtf(
         pending = srv.decode_chunk_serving(params, cp_params, state, temp, statics)
         tails = np.zeros((B, ctx, nq), np.int32)
         emitted = 0
+        pending_pcm = None
         for i in range(n_chunks):
             frames, counts, eos, state = pending
             if i + 1 < n_chunks:
@@ -429,7 +434,13 @@ def serving_audio_rtf(
             wav = voc.decode_frames_jit(
                 voc_params, jnp.asarray(rows.transpose(0, 2, 1)), vcfg
             )
-            np.asarray(wav)  # PCM pulled to host per boundary
+            copy_async = getattr(wav, "copy_to_host_async", None)
+            if copy_async is not None:
+                copy_async()
+            if pending_pcm is not None:
+                np.asarray(pending_pcm)  # boundary i-1's PCM, copy already ran
+            pending_pcm = wav
+        np.asarray(pending_pcm)  # final boundary's PCM forces completion
         return emitted
 
     run()  # compile

@@ -803,6 +803,11 @@ def vocode_rows_dispatch(rows, batch_size: int, vocoder_params: dict,
         need = min(width, ((need + 7) // 8) * 8)
         if need < width:
             wav = wav[:, : need * spf]
+        # start the D2H copy as soon as the (trimmed) batch is computed so a
+        # deferred resolve_vocoded finds the PCM already host-side
+        copy_async = getattr(wav, "copy_to_host_async", None)
+        if copy_async is not None:
+            copy_async()
         out.append((wav, group))
     return out
 
@@ -1064,12 +1069,42 @@ class ContinuousServer:
         """
         ng = self.config.code_predictor_config.num_code_groups
         packer = _RowPacker(ng, decode_chunk, left_context, first_decode_chunk)
+        spf = decoder_cfg.total_upsample
 
+        def emit(boundary):
+            dispatched, finals_empty = boundary
+            for req, samples, t_range, final in resolve_vocoded(
+                dispatched, spf
+            ):
+                yield ServedChunk(
+                    request=req, samples=samples,
+                    token_range=t_range, is_final=final,
+                )
+                if final:
+                    packer.release(req)
+            for req, t in finals_empty:
+                yield ServedChunk(
+                    request=req,
+                    samples=np.zeros(0, np.float32),
+                    token_range=(t, t),
+                    is_final=True,
+                )
+
+        # Pipelined PCM delivery: the vocode batch dispatched at boundary i
+        # queues BEHIND decode chunk i+1 on the device, so pulling its PCM
+        # here would bill decode + vocode + transfer serially per boundary.
+        # Instead each boundary's pull is deferred until the NEXT boundary
+        # (the async D2H copy in vocode_rows_dispatch runs under decode
+        # i+1's device time) — except boundaries carrying a stream's FIRST
+        # audio (t_range starts at 0), which ship immediately so
+        # first-chunk latency is unchanged. Chunk contents, per-request
+        # order, and token ranges are identical to the serial scheme.
+        pending_boundary = None
         for events in self._event_stream(
             prompt_datas, temperature=temperature, max_tokens=max_tokens
         ):
             rows = []
-            finals_empty: list[int] = []
+            finals_empty: list[tuple[int, int]] = []
             for req, valid, done in events:
                 # only real codebook entries reach the vocoder (reference
                 # validates code0 in [0, 2048), Qwen3TTSPipeline.swift:576-580)
@@ -1078,24 +1113,24 @@ class ContinuousServer:
                 )
                 rows.extend(r)
                 if empty_final:
-                    finals_empty.append(req)
-
-            for req, samples, t_range, final in vocode_rows(
+                    finals_empty.append((req, packer.sent(req)))
+                    packer.release(req)
+            if not rows and not finals_empty:
+                continue
+            dispatched = vocode_rows_dispatch(
                 rows, self.batch_size, vocoder_params, decoder_cfg,
                 ng, packer.width,
-            ):
-                yield ServedChunk(
-                    request=req, samples=samples,
-                    token_range=t_range, is_final=final,
-                )
-                if final:
-                    packer.release(req)
-            for req in finals_empty:
-                t = packer.sent(req)
-                packer.release(req)
-                yield ServedChunk(
-                    request=req,
-                    samples=np.zeros(0, np.float32),
-                    token_range=(t, t),
-                    is_final=True,
-                )
+            )
+            if pending_boundary is not None:
+                yield from emit(pending_boundary)
+                pending_boundary = None
+            boundary = (dispatched, finals_empty)
+            has_first = any(
+                row[4][0] == 0 for _wav, group in dispatched for row in group
+            )
+            if has_first:
+                yield from emit(boundary)
+            else:
+                pending_boundary = boundary
+        if pending_boundary is not None:
+            yield from emit(pending_boundary)

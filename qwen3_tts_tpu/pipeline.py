@@ -1005,8 +1005,18 @@ class Qwen3TTSPipeline:
 
     def _decode_chunked(self, frames: np.ndarray, decode_chunk_size: int) -> np.ndarray:
         """Sequential batched vocoder decode with 8-frame left context
-        (reference Qwen3TTSPipeline.swift:700-745, 830-860)."""
+        (reference Qwen3TTSPipeline.swift:700-745, 830-860). Windows are
+        independent given their context frames, so up to two are kept in
+        flight (dispatch window i+1 before pulling window i's PCM) — the
+        D2H transfer overlaps the next window's vocode instead of billing
+        a serial host round trip per window; output is identical."""
         pieces: list[np.ndarray] = []
+        in_flight: list[tuple] = []  # (device wav, drop)
+
+        def pull_one() -> None:
+            wav_dev, drop = in_flight.pop(0)
+            pieces.append(_clean(np.asarray(wav_dev)[0][drop:]))
+
         pos = 0
         while pos < len(frames):
             end = min(pos + decode_chunk_size, len(frames))
@@ -1015,9 +1025,15 @@ class Qwen3TTSPipeline:
             # path's carried context is batch-local instead — there the
             # producer guarantees batches >= LEFT_CONTEXT_SIZE mid-stream)
             left = frames[max(0, pos - LEFT_CONTEXT_SIZE): pos] if pos else None
-            wav, _ = self._decode_with_context(frames[pos:end], left)
-            pieces.append(_clean(wav))
+            wav_dev, drop, _ = self._dispatch_decode_with_context(
+                frames[pos:end], left
+            )
+            in_flight.append((wav_dev, drop))
+            if len(in_flight) > 2:
+                pull_one()
             pos = end
+        while in_flight:
+            pull_one()
         return np.concatenate(pieces) if pieces else np.zeros(0, np.float32)
 
     # -- voice cloning inputs ----------------------------------------------
